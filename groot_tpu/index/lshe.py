@@ -1,0 +1,318 @@
+"""LSH containment index (from-scratch TPU-friendly LSH Ensemble).
+
+Reference: /root/reference/src/lshe/lshe.go wraps ekzhu/lshensemble (Zhu et
+al., VLDB'16). In groot every indexed domain has the SAME size
+(NumWindowKmers = windowSize - kmerSize + 1, src/pipeline/index.go:187-188),
+so the ensemble's equi-depth size partitioning is degenerate — a single
+banded MinHash LSH with the containment<->jaccard conversion reproduces the
+post-filtered hit set (lshe.go:153-175 re-verifies every LSH candidate with
+an exact signature containment estimate, which is what makes the banding
+recall-tolerant: err permissive, never restrictive).
+
+Device-side layout: for each K in 1..maxK (K = hash funcs per band,
+L_K = sketchSize // K bands) a band table
+
+  band_sigs  uint32 [L_K, N]  (sorted per band; 32-bit mix of the K slots —
+                               collisions only ADD candidates, the exact
+                               containment post-filter removes them)
+  band_idx   int32  [L_K, N]  (argsort permutation -> window index)
+
+Query = band-sig mix -> vmapped searchsorted -> bounded gather (cap M per
+band) -> dedup -> exact containment on gathered sketches. All fixed-shape.
+
+The (K, L) used per query is chosen like lshensemble's OptimalKL: maximise
+band-collision recall at the jaccard threshold implied by the containment
+threshold; we pick the largest K whose expected false-negative rate is
+below 1e-6, falling back to K=1 (most permissive)."""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import u64
+from .window import Key
+
+MAX_PER_BAND = 24  # max candidates gathered per (read, band) before dedup
+
+
+def _mix_bands_np(sketch_u64: np.ndarray, K: int) -> np.ndarray:
+    """[N, s] uint64 -> [N, L] uint32 band signatures (host build)."""
+    N, s = sketch_u64.shape
+    L = s // K
+    use = sketch_u64[:, : L * K].reshape(N, L, K)
+    # pure 32-bit FNV-style mix — MUST match _mix_bands_jax op for op
+    h = np.full((N, L), 2166136261, dtype=np.uint32)
+    prime = np.uint32(16777619)
+    with np.errstate(over="ignore"):
+        for j in range(K):
+            v = use[:, :, j]
+            h = (h ^ (v & np.uint64(0xFFFFFFFF)).astype(np.uint32)) * prime
+            h = (h ^ (v >> np.uint64(32)).astype(np.uint32)) * prime
+    return h
+
+
+def _mix_bands_jax(hi, lo, K: int) -> jnp.ndarray:
+    """(hi, lo) [B, s] uint32 -> [B, L] uint32 band signatures (device)."""
+    B, s = hi.shape
+    L = s // K
+    uhi = hi[:, : L * K].reshape(B, L, K)
+    ulo = lo[:, : L * K].reshape(B, L, K)
+    h = jnp.full((B, L), 2166136261 & 0xFFFFFFFF, dtype=jnp.uint32)
+    # 32-bit FNV-style mix tracking only the low 32 bits of the host mix:
+    # (h ^ v) * p mod 2^32 == low32((H ^ v) * p) when H's low 32 bits == h
+    prime = jnp.uint32(16777619)
+    for j in range(K):
+        h = (h ^ ulo[:, :, j]) * prime
+        h = (h ^ uhi[:, :, j]) * prime
+    return h
+
+
+@dataclass
+class ContainmentIndex:
+    num_part: int
+    max_k: int
+    num_window_kmers: int
+    sketch_size: int
+    # window payloads (struct-of-arrays, index = window id)
+    window_keys: List[str] = field(default_factory=list)
+    keys: List[Key] = field(default_factory=list)
+    sketches: Optional[np.ndarray] = None  # uint64 [N, s]
+    # device tables, built by prepare()
+    _tables: Optional[dict] = None
+
+    # ------------------------------------------------------------------
+    # build
+    # ------------------------------------------------------------------
+    def add_window(self, lookup: str, window: Key) -> None:
+        """lshe.go:63-69 (duplicate keys are an error)."""
+        if self._tables is not None:
+            raise RuntimeError("index already prepared")
+        if lookup in getattr(self, "_seen", set()):
+            raise ValueError(
+                f"duplicate window key can't be inserted into index: {lookup}"
+            )
+        if not hasattr(self, "_seen"):
+            self._seen = set()
+        self._seen.add(lookup)
+        self.window_keys.append(lookup)
+        self.keys.append(window)
+
+    def prepare(self) -> None:
+        """Build sorted band tables (reference defers LSH build to Load,
+        lshe.go:108-147; we build once and serialise the tables)."""
+        if not self.keys:
+            raise ValueError("loaded an empty index file")
+        self.sketches = np.stack([k.sketch for k in self.keys])
+        N, s = self.sketches.shape
+        assert s == self.sketch_size
+        tables = {}
+        for K in range(1, self.max_k + 1):
+            L = s // K
+            if L < 1:
+                continue
+            sigs = _mix_bands_np(self.sketches, K)  # [N, L]
+            order = np.argsort(sigs, axis=0, kind="stable")  # [N, L]
+            tables[K] = {
+                "sorted_sigs": np.take_along_axis(sigs, order, axis=0).T.copy(),
+                "idx": order.T.astype(np.int32).copy(),  # [L, N]
+            }
+        self._tables = tables
+        shi, slo = u64.from_np(self.sketches)
+        self._dev = {
+            "hi": shi,
+            "lo": slo,
+            "graph_ids": jnp.asarray(
+                np.array([k.graph_id for k in self.keys], dtype=np.int32)
+            ),
+        }
+
+    @property
+    def num_sketches(self) -> int:
+        return len(self.keys)
+
+    # ------------------------------------------------------------------
+    # query
+    # ------------------------------------------------------------------
+    def optimal_k(self, query_size: int, threshold: float) -> int:
+        """Pick K (hash funcs per band) for a containment threshold, like
+        lshensemble's OptimalKL: the jaccard threshold implied by the
+        containment threshold is j* = t*q / (q + d - t*q); choose the
+        largest K with false-negative prob (1 - j*^K)^L below 1e-6."""
+        q, d = query_size, self.num_window_kmers
+        j_star = threshold * q / (q + d - threshold * q)
+        j_star = min(max(j_star, 1e-9), 1.0)
+        best = 1
+        for K in sorted(self._tables):
+            L = self.sketch_size // K
+            fn = (1.0 - j_star**K) ** L
+            if fn < 1e-6:
+                best = K
+        return best
+
+    def query_batch(
+        self,
+        sketch_hi,
+        sketch_lo,
+        query_sizes: np.ndarray,
+        threshold: float,
+    ) -> List[Dict[int, List[Key]]]:
+        """Query a batch of read sketches.
+
+        sketch_hi/lo: uint32 [B, s]; query_sizes: [B] k-mer counts.
+        Returns, per read, {graphID: [Key, ...]} with keys sorted by
+        (node, offset) — the graphMinion sort (graphminion.go:57)."""
+        if self._tables is None:
+            self.prepare()
+        B = int(sketch_hi.shape[0])
+        K = self.optimal_k(int(np.min(query_sizes)) if B else 1, threshold)
+        t = self._tables[K]
+        win_idx, contain = _query_device(
+            sketch_hi,
+            sketch_lo,
+            jnp.asarray(t["sorted_sigs"]),
+            jnp.asarray(t["idx"]),
+            self._dev["hi"],
+            self._dev["lo"],
+            jnp.asarray(np.asarray(query_sizes, dtype=np.int32)),
+            K,
+            self.num_window_kmers,
+            threshold,
+        )
+        win_idx = np.asarray(win_idx)
+        contain = np.asarray(contain)
+        out: List[Dict[int, List[Key]]] = []
+        for b in range(B):
+            hits: Dict[int, List[Key]] = {}
+            for w in win_idx[b]:
+                if w < 0:
+                    continue
+                key = self.keys[int(w)]
+                hits.setdefault(key.graph_id, []).append(key)
+            for g in hits:
+                hits[g].sort(key=lambda k: (k.node, k.offset))
+            out.append(hits)
+        return out
+
+    # ------------------------------------------------------------------
+    # serialisation (groot.lshe equivalent)
+    # ------------------------------------------------------------------
+    def dump(self, file_path: str) -> None:
+        payload = {
+            "num_part": self.num_part,
+            "max_k": self.max_k,
+            "num_window_kmers": self.num_window_kmers,
+            "sketch_size": self.sketch_size,
+            "window_keys": self.window_keys,
+            "keys": [
+                {
+                    "graph_id": k.graph_id,
+                    "node": k.node,
+                    "offset": k.offset,
+                    "contained_nodes": k.contained_nodes,
+                    "ref": k.ref,
+                    "merge_span": k.merge_span,
+                    "window_size": k.window_size,
+                    "sketch": k.sketch,
+                }
+                for k in self.keys
+            ],
+        }
+        with open(file_path, "wb") as fh:
+            pickle.dump(payload, fh, protocol=4)
+
+    @classmethod
+    def load(cls, file_path: str) -> "ContainmentIndex":
+        if os.path.getsize(file_path) == 0:
+            raise ValueError("index appears empty")
+        with open(file_path, "rb") as fh:
+            payload = pickle.load(fh)
+        self = cls(
+            num_part=payload["num_part"],
+            max_k=payload["max_k"],
+            num_window_kmers=payload["num_window_kmers"],
+            sketch_size=payload["sketch_size"],
+        )
+        self.window_keys = payload["window_keys"]
+        self.keys = [
+            Key(
+                graph_id=k["graph_id"],
+                node=k["node"],
+                offset=k["offset"],
+                contained_nodes=k["contained_nodes"],
+                ref=k["ref"],
+                sketch=k["sketch"],
+                merge_span=k["merge_span"],
+                window_size=k["window_size"],
+            )
+            for k in payload["keys"]
+        ]
+        if not self.keys:
+            raise ValueError("loaded an empty index file")
+        self.prepare()
+        return self
+
+
+@partial(jax.jit, static_argnames=("K", "domain_size", "threshold"))
+def _query_device(
+    q_hi,
+    q_lo,
+    sorted_sigs,  # u32 [L, N]
+    band_idx,     # i32 [L, N]
+    sk_hi,        # u32 [N, s]
+    sk_lo,
+    query_sizes,  # i32 [B]
+    K: int,
+    domain_size: int,
+    threshold: float,
+):
+    """Banded LSH lookup + exact containment post-filter, fixed shapes.
+
+    Returns (window_idx [B, C] with -1 for empty, containment [B, C])."""
+    B, s = q_hi.shape
+    Lbands, N = sorted_sigs.shape
+    M = MAX_PER_BAND
+
+    sigs = _mix_bands_jax(q_hi, q_lo, K)  # [B, L]
+
+    def per_band(table_row, idx_row, sig_col):
+        # sig_col: [B] band sigs for this band
+        lo = jnp.searchsorted(table_row, sig_col, side="left")
+        hi = jnp.searchsorted(table_row, sig_col, side="right")
+        take = lo[:, None] + jnp.arange(M)[None, :]
+        valid = take < hi[:, None]
+        take = jnp.clip(take, 0, N - 1)
+        wins = idx_row[take]
+        return jnp.where(valid, wins, -1)
+
+    cands = jax.vmap(per_band, in_axes=(0, 0, 1), out_axes=1)(
+        sorted_sigs, band_idx, sigs
+    )  # [B, L, M]
+    cands = cands.reshape(B, Lbands * M)
+
+    # dedup: sort ids, mask adjacent duplicates (-1 sorts first)
+    cands = jnp.sort(cands, axis=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((B, 1), dtype=bool), cands[:, 1:] == cands[:, :-1]], axis=1
+    )
+    cands = jnp.where(dup, -1, cands)
+
+    # exact containment estimate (lshensemble.Containment): jaccard from
+    # matching sketch slots, converted with the known set sizes
+    safe = jnp.maximum(cands, 0)
+    c_hi = sk_hi[safe]  # [B, C, s]
+    c_lo = sk_lo[safe]
+    eq = ((c_hi == q_hi[:, None, :]) & (c_lo == q_lo[:, None, :])).sum(-1)
+    j = eq.astype(jnp.float32) / s
+    qs = query_sizes[:, None].astype(jnp.float32)
+    contain = j * (qs + domain_size) / ((1.0 + j) * qs)
+    keep = (cands >= 0) & (contain > threshold)
+    return jnp.where(keep, cands, -1), jnp.where(keep, contain, 0.0)

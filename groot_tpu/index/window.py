@@ -1,0 +1,211 @@
+"""Windowed graph sketching (the index-build hot loop, device side).
+
+Reference: GrootGraph.WindowGraph (/root/reference/src/graph/graph.go:229-396)
+slides a w-bp window along every path with stride 1, KHF-sketches each window
+(hot loop #1 per SURVEY §3.1), merges runs of consecutive identical sketches
+(MergeSpan) and merges identical sketches across paths at the same
+node+offset.
+
+TPU-native formulation: one fused device pass per graph computes ALL window
+sketches of ALL paths —
+
+  canonical k-mer hashes  (prefix-XOR scan, groot_tpu.ops.nthash)
+  -> per-slot multihash    [P, nk, s]
+  -> sliding-window min    (van Herk two-pass block min, O(L*s))
+  -> sketches              [P, nw, s]  as (hi, lo) uint32
+
+Run detection / key building / cross-path merging are cheap host NumPy
+(one-time index build bookkeeping).
+
+Faithful reference quirks reproduced (see test_index.py):
+  * the FINAL merge-run of each path is dropped unless it is the only run
+    (graph.go:298-338: `sketchSent` is never reset, so the tail run is only
+    sent via the `!sketchSent && i == numWindows-1` clause);
+  * ContainedNodes counts are per-BASE tallies accumulated over every window
+    of the run (graph.go:326-328);
+  * cross-path merging only applies at identical (first node, offset) with an
+    identical sketch; MergeSpan keeps the max (graph.go:349-388).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.grootgraph import GrootGraph
+from ..graph.pack import PackedPaths, pack_graph_paths
+from ..ops import nthash, u64
+
+
+# ---------------------------------------------------------------------------
+# Key — the graph-window record (lshe.Key, /root/reference/src/lshe/lshe.go:17-28)
+# ---------------------------------------------------------------------------
+@dataclass
+class Key:
+    graph_id: int
+    node: int                      # first node in the window
+    offset: int                    # offset of the window within that node
+    contained_nodes: Dict[int, float]  # nodeID -> per-base tally
+    ref: List[int]                 # path IDs containing this window
+    sketch: np.ndarray             # uint64 [s]
+    merge_span: int = 0
+    window_size: int = 0
+    freq: float = 0.0
+    rc: bool = False
+
+
+# ---------------------------------------------------------------------------
+# device kernel
+# ---------------------------------------------------------------------------
+def _cummin_pair(pair, reverse: bool = False):
+    axis = pair[0].ndim - 1  # associative_scan needs a non-negative axis
+    return jax.lax.associative_scan(u64.minimum, pair, axis=axis, reverse=reverse)
+
+
+@partial(jax.jit, static_argnames=("k", "s", "w"))
+def window_sketches(codes, lengths, k: int, s: int, w: int):
+    """All stride-1 window sketches of padded path sequences.
+
+    codes: u8 [P, L]; lengths: i32 [P].
+    Returns (hi, lo) uint32 [P, nw, s] with nw = L - w + 1; windows past
+    lengths[p] - w are garbage (mask on host).
+    """
+    P, L = codes.shape
+    nk_total = L - k + 1        # k-mers per padded row
+    m = w - k + 1               # k-mers per window
+    nw = L - w + 1
+
+    c = nthash.canonical_hashes(codes, k)          # [P, nk_total]
+    h = nthash.multihash(c, k, s)                  # [P, nk_total, s]
+    # mask k-mers that start beyond the row's valid length
+    nk_valid = jnp.maximum(lengths - (k - 1), 0)
+    mask = (jnp.arange(nk_total) < nk_valid[:, None])[..., None]
+    FULL = jnp.uint32(0xFFFFFFFF)
+    h = u64.where(mask, h, (jnp.full_like(h[0], FULL), jnp.full_like(h[1], FULL)))
+
+    # sliding-window min of length m along axis 1 (van Herk / Gil-Werman)
+    # pad to a multiple of m
+    n_pad = (-nk_total) % m
+    if n_pad:
+        pad = [(0, 0), (0, n_pad), (0, 0)]
+        full = np.uint32(0xFFFFFFFF)
+        h = (
+            jnp.pad(h[0], pad, constant_values=full),
+            jnp.pad(h[1], pad, constant_values=full),
+        )
+    n_blocks = (nk_total + n_pad) // m
+    blocked = (
+        h[0].reshape(P, n_blocks, m, s).swapaxes(-1, -2),
+        h[1].reshape(P, n_blocks, m, s).swapaxes(-1, -2),
+    )  # [P, nb, s, m] so the scan axis is last
+    pref = _cummin_pair(blocked)                   # prefix min within block
+    suff = _cummin_pair(blocked, reverse=True)     # suffix min within block
+    flat = lambda x: x.swapaxes(-1, -2).reshape(P, n_blocks * m, s)
+    pref = (flat(pref[0]), flat(pref[1]))
+    suff = (flat(suff[0]), flat(suff[1]))
+    idx = jnp.arange(nw)
+    out = u64.minimum(
+        (suff[0][:, idx, :], suff[1][:, idx, :]),
+        (pref[0][:, idx + m - 1, :], pref[1][:, idx + m - 1, :]),
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# host: merge runs + cross-path merge
+# ---------------------------------------------------------------------------
+def sketch_graph(
+    graph: GrootGraph, window_size: int, kmer_size: int, sketch_size: int
+) -> Dict[str, List[Key]]:
+    """WindowGraph equivalent: {"g%dn%do%d" -> [Key, ...]} per graph."""
+    packed = pack_graph_paths(graph)
+    lengths = packed.lengths
+    if (lengths < window_size).any():
+        raise ValueError("graph contains sequence < window size")
+
+    graph.num_windows = int((lengths - window_size + 1).sum())
+    graph.num_distinct_sketches = 0
+    graph.max_span = 0
+
+    hi, lo = window_sketches(
+        jnp.asarray(packed.codes),
+        jnp.asarray(lengths),
+        kmer_size,
+        sketch_size,
+        window_size,
+    )
+    sketches = u64.to_np(np.asarray(hi), np.asarray(lo))  # [P, nw, s]
+
+    window_lookup: Dict[str, List[Key]] = {}
+    for pi, path_id in enumerate(packed.path_ids):
+        nw = int(lengths[pi]) - window_size + 1
+        sk = sketches[pi, :nw]
+        segs = packed.segs[pi]
+        # run boundaries: windows whose sketch differs from their predecessor
+        change = np.empty(nw, dtype=bool)
+        change[0] = True
+        if nw > 1:
+            change[1:] = (sk[1:] != sk[:-1]).any(axis=1)
+        run_starts = np.flatnonzero(change)
+        run_ends = np.append(run_starts[1:] - 1, nw - 1)
+
+        # reference tail-run behavior: the final run is only emitted when it
+        # is the path's only run (graph.go:335-338)
+        n_runs = len(run_starts)
+        emit = range(n_runs - 1) if n_runs > 1 else range(n_runs)
+
+        for ri in emit:
+            a, b = int(run_starts[ri]), int(run_ends[ri])
+            # per-base tallies over all windows of the run
+            span = np.arange(a, b + window_size)  # bases touched
+            wts = (
+                np.minimum(span, b) - np.maximum(span - window_size + 1, a) + 1
+            ).astype(np.float64)
+            node_ids, inv = np.unique(segs[a : b + window_size], return_inverse=True)
+            counts = np.bincount(inv, weights=wts)
+            contained = {int(n): float(c) for n, c in zip(node_ids, counts)}
+            key = Key(
+                graph_id=graph.graph_id,
+                node=int(segs[a]),
+                offset=int(packed.offsets[pi][a]),
+                contained_nodes=contained,
+                ref=[path_id],
+                sketch=sk[a].copy(),
+                merge_span=b - a,
+                window_size=window_size,
+            )
+            _insert_window(window_lookup, key, graph)
+
+    if graph.num_distinct_sketches == 0:
+        raise ValueError(
+            f"no sketches produced after windowing graph seqs: {graph.get_ref_ids()}"
+        )
+    return window_lookup
+
+
+def _insert_window(lookup: Dict[str, List[Key]], key: Key, graph: GrootGraph):
+    """Cross-path merge at identical node+offset (graph.go:349-388)."""
+    ks = f"g{key.graph_id}n{key.node}o{key.offset}"
+    graph.max_span = max(graph.max_span, key.merge_span)
+    existing = lookup.get(ks)
+    if existing is not None:
+        for other in existing:
+            if (other.sketch == key.sketch).all():
+                for node, freq in key.contained_nodes.items():
+                    other.contained_nodes[node] = (
+                        other.contained_nodes.get(node, 0.0) + freq
+                    )
+                other.ref.extend(key.ref)
+                if key.merge_span > other.merge_span:
+                    other.merge_span = key.merge_span
+                return
+        existing.append(key)
+        graph.num_distinct_sketches += 1
+    else:
+        lookup[ks] = [key]
+        graph.num_distinct_sketches += 1
