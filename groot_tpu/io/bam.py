@@ -1,0 +1,310 @@
+"""BAM/BGZF writing and reading (host side).
+
+Reference: the boss's BAM setup/writing (/root/reference/src/pipeline/boss.go:45-105,
+225-241, via biogo/hts) and the report stage's reader
+(/root/reference/src/reporting/reporting.go:33-87). Header layout mirrors the
+reference: @HD VN:1.5, @SQ per graph path, @PG groot, @RG readsID.
+
+BAM record order in the reference depends on goroutine interleaving; parity
+is defined order-canonicalized (sort by qname/ref/pos/flags — SURVEY §7 hard
+part 4). We emit records in deterministic batch order.
+"""
+
+from __future__ import annotations
+
+import struct
+import time
+import zlib
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Tuple
+
+from ..align.aligner import AlignmentRecord
+from ..version import get_version
+
+# SAM flags
+FLAG_UNMAPPED = 0x4
+FLAG_REVERSE = 0x10
+FLAG_SECONDARY = 0x100
+
+CIGAR_OPS = "MIDNSHP=X"
+SEQ_NIBBLES = "=ACMGRSVTWYHKDBN"
+NIB = {c: i for i, c in enumerate(SEQ_NIBBLES)}
+
+
+@dataclass
+class Reference:
+    name: str
+    length: int
+    ref_id: int = -1
+    path_id: int = -1
+
+
+class References(dict):
+    """{graphID: [Reference]} plus a (graphID, pathID) -> Reference lookup."""
+
+    def __init__(self):
+        super().__init__()
+        self.by_path: Dict[Tuple[int, int], Reference] = {}
+
+
+def build_references(store) -> References:
+    """GetSAMrefs equivalent (graphio.go:141-154): per graph, one reference
+    per path (name, ungapped length). Global ref_ids assigned in sorted
+    (graphID, pathID) order — deterministic where the reference iterates Go
+    maps."""
+    refs = References()
+    counter = 0
+    for graph_id in sorted(store):
+        graph = store[graph_id]
+        lst = []
+        for pid in sorted(graph.paths):
+            ref = Reference(
+                name=graph.paths[pid],
+                length=graph.lengths[pid],
+                ref_id=counter,
+                path_id=pid,
+            )
+            lst.append(ref)
+            refs.by_path[(graph_id, pid)] = ref
+            counter += 1
+        refs[graph_id] = lst
+    return refs
+
+
+def header_text(references: Dict[int, List[Reference]]) -> str:
+    lines = ["@HD\tVN:1.5"]
+    for graph_id in sorted(references):
+        for ref in references[graph_id]:
+            lines.append(f"@SQ\tSN:{ref.name}\tLN:{ref.length}")
+    lines.append(
+        f"@PG\tID:1\tPN:groot\tCL:groot align\tVN:{get_version()}"
+    )
+    stamp = time.strftime("%Y-%m-%dT%H:%M:%S")
+    lines.append(
+        "@RG\tID:readsID\tPG:groot align\tPL:illumina\tSM:sampleID"
+        f"\tPI:1000\tDT:{stamp}"
+    )
+    return "\n".join(lines) + "\n"
+
+
+# ---------------------------------------------------------------------------
+# BGZF
+# ---------------------------------------------------------------------------
+BGZF_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000"
+)
+
+
+def _bgzf_block(data: bytes) -> bytes:
+    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+    comp = co.compress(data) + co.flush()
+    bsize = len(comp) + 25 + 1  # header(12) + XLEN extra(6) + comp + crc(4) + isize(4)
+    header = struct.pack(
+        "<BBBBIBBHBBHH",
+        0x1F, 0x8B, 0x08, 0x04,  # gzip magic, deflate, FEXTRA
+        0, 0, 0xFF,              # mtime, xfl, os
+        6,                       # XLEN
+        0x42, 0x43, 2,           # 'B' 'C', subfield len
+        bsize - 1,
+    )
+    footer = struct.pack("<II", zlib.crc32(data) & 0xFFFFFFFF, len(data))
+    return header + comp + footer
+
+
+class BgzfWriter:
+    def __init__(self, fh):
+        self.fh = fh
+        self.buf = bytearray()
+
+    def write(self, data: bytes):
+        self.buf += data
+        while len(self.buf) >= 0xFF00:
+            self.fh.write(_bgzf_block(bytes(self.buf[:0xFF00])))
+            del self.buf[:0xFF00]
+
+    def close(self):
+        if self.buf:
+            self.fh.write(_bgzf_block(bytes(self.buf)))
+            self.buf = bytearray()
+        self.fh.write(BGZF_EOF)
+        self.fh.flush()
+
+
+# ---------------------------------------------------------------------------
+# BAM writer
+# ---------------------------------------------------------------------------
+def reg2bin(beg: int, end: int) -> int:
+    end -= 1
+    if beg >> 14 == end >> 14:
+        return ((1 << 15) - 1) // 7 + (beg >> 14)
+    if beg >> 17 == end >> 17:
+        return ((1 << 12) - 1) // 7 + (beg >> 17)
+    if beg >> 20 == end >> 20:
+        return ((1 << 9) - 1) // 7 + (beg >> 20)
+    if beg >> 23 == end >> 23:
+        return ((1 << 6) - 1) // 7 + (beg >> 23)
+    if beg >> 26 == end >> 26:
+        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    return 0
+
+
+class BamWriter:
+    """Streams AlignmentRecords to a BAM file/stdout."""
+
+    def __init__(self, fh, references: Dict[int, List[Reference]]):
+        self.bgzf = BgzfWriter(fh)
+        self.references = references
+        self.count = 0
+        text = header_text(references).encode()
+        flat: List[Reference] = []
+        for graph_id in sorted(references):
+            flat.extend(references[graph_id])
+        payload = struct.pack("<4sI", b"BAM\x01", len(text)) + text
+        payload += struct.pack("<I", len(flat))
+        for ref in flat:
+            name = ref.name.encode() + b"\x00"
+            payload += struct.pack("<I", len(name)) + name
+            payload += struct.pack("<I", ref.length)
+        self.bgzf.write(payload)
+
+    def write(self, rec: AlignmentRecord):
+        ref = self.references.by_path[(rec.graph_id, rec.path_id)]
+        name = rec.name.encode() + b"\x00"
+        cigar: List[Tuple[int, int]] = []
+        if rec.start_clip:
+            cigar.append((rec.start_clip, 5))  # H
+        cigar.append((len(rec.seq), 0))  # M
+        if rec.end_clip:
+            cigar.append((rec.end_clip, 5))
+        flag = 0
+        if rec.reverse:
+            flag |= FLAG_REVERSE
+        if rec.secondary:
+            flag |= FLAG_SECONDARY
+        l_seq = len(rec.seq)
+        seq_nib = bytearray((l_seq + 1) // 2)
+        for i, b in enumerate(rec.seq.decode()):
+            nib = NIB.get(b, 15)
+            seq_nib[i // 2] |= nib << (4 if i % 2 == 0 else 0)
+        if rec.qual:
+            qual = bytes((max(0, q - 33) for q in rec.qual[:l_seq]))
+            qual = qual.ljust(l_seq, b"\x00")
+        else:
+            qual = b"\xff" * l_seq
+        end = rec.pos + l_seq
+        data = struct.pack(
+            "<iiBBHHHiiii",
+            ref.ref_id,
+            rec.pos,
+            len(name),
+            rec.mapq,
+            reg2bin(rec.pos, end),
+            len(cigar),
+            flag,
+            l_seq,
+            -1,
+            -1,
+            0,
+        )
+        data += name
+        for ln, op in cigar:
+            data += struct.pack("<I", (ln << 4) | op)
+        data += bytes(seq_nib) + qual
+        self.bgzf.write(struct.pack("<I", len(data)) + data)
+        self.count += 1
+
+    def close(self):
+        self.bgzf.close()
+
+
+# ---------------------------------------------------------------------------
+# BAM reader (report stage)
+# ---------------------------------------------------------------------------
+@dataclass
+class BamRecord:
+    name: str
+    ref_id: int
+    pos: int
+    mapq: int
+    flag: int
+    cigar: List[Tuple[int, int]]  # (len, op-index)
+    seq_len: int
+
+    @property
+    def unmapped(self) -> bool:
+        return self.flag == FLAG_UNMAPPED
+
+    def aln_len(self) -> int:
+        """Alignment length on the reference (biogo Record.Len): sum of
+        M/D/N/=/X cigar ops."""
+        total = 0
+        for ln, op in self.cigar:
+            if CIGAR_OPS[op] in "MDN=X":
+                total += ln
+        return total
+
+
+def read_bam(path_or_fh) -> Tuple[List[Reference], Iterator[BamRecord]]:
+    import gzip as _gzip
+    import io as _io
+
+    if isinstance(path_or_fh, str):
+        raw = open(path_or_fh, "rb").read()
+    else:
+        raw = path_or_fh.read()
+    data = _gzip.decompress(raw)
+    off = 0
+    magic, l_text = struct.unpack_from("<4sI", data, off)
+    if magic != b"BAM\x01":
+        raise ValueError("not a BAM file")
+    off += 8 + l_text
+    (n_ref,) = struct.unpack_from("<I", data, off)
+    off += 4
+    refs: List[Reference] = []
+    for i in range(n_ref):
+        (l_name,) = struct.unpack_from("<I", data, off)
+        off += 4
+        name = data[off : off + l_name - 1].decode()
+        off += l_name
+        (l_ref,) = struct.unpack_from("<I", data, off)
+        off += 4
+        refs.append(Reference(name=name, length=l_ref, ref_id=i))
+
+    def records():
+        o = off
+        while o < len(data):
+            (block_size,) = struct.unpack_from("<I", data, o)
+            o += 4
+            (
+                ref_id,
+                pos,
+                l_name,
+                mapq,
+                _bin,
+                n_cigar,
+                flag,
+                l_seq,
+                _nref,
+                _npos,
+                _tlen,
+            ) = struct.unpack_from("<iiBBHHHiiii", data, o)
+            p = o + 32
+            name = data[p : p + l_name - 1].decode()
+            p += l_name
+            cigar = []
+            for _ in range(n_cigar):
+                (v,) = struct.unpack_from("<I", data, p)
+                cigar.append((v >> 4, v & 0xF))
+                p += 4
+            o += block_size
+            yield BamRecord(
+                name=name,
+                ref_id=ref_id,
+                pos=pos,
+                mapq=mapq,
+                flag=flag,
+                cigar=cigar,
+                seq_len=l_seq,
+            )
+
+    return refs, records()

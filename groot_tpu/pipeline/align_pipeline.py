@@ -1,0 +1,208 @@
+"""The align pipeline: FASTQ -> sketch -> LSH seed -> weight -> align -> prune.
+
+Reference: cmd/align.go:54-163 wiring DataStreamer -> FastqHandler ->
+FastqChecker -> ReadMapper (boss/minions, src/pipeline/boss.go:108-242 and
+graphminion.go:40-103) -> GraphPruner (sketch.go:378-430).
+
+TPU-native shape: reads stream from the host in padded uint8 batches; one
+device step sketches the whole batch (hot loop #2) and queries the LSH band
+tables (hot loop #3); graph weighting is a host scatter-add over the seeded
+windows' contained-node tallies; exact alignment (hot loop #4) runs batched
+on the MXU via groot_tpu.align. The per-graph goroutine structure collapses
+into batch dimensions.
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import os
+from dataclasses import dataclass, field
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from ..align.aligner import GraphAligner
+from ..config import Info
+from ..graph.grootgraph import Store
+from ..io import bam as bamio
+from ..io.fastx import FastqRead, stream_fastq
+from ..ops import nthash
+
+log = logging.getLogger("groot")
+
+DEFAULT_BATCH = 2048
+
+
+@dataclass
+class ReadBatch:
+    reads: List[FastqRead]
+    codes: np.ndarray    # u8 [B, L]
+    lengths: np.ndarray  # i32 [B]
+
+
+def batch_reads(
+    read_iter: Iterator[FastqRead], batch_size: int = DEFAULT_BATCH
+) -> Iterator[ReadBatch]:
+    buf: List[FastqRead] = []
+    for read in read_iter:
+        buf.append(read)
+        if len(buf) == batch_size:
+            yield _make_batch(buf)
+            buf = []
+    if buf:
+        yield _make_batch(buf)
+
+
+def _make_batch(reads: List[FastqRead]) -> ReadBatch:
+    lengths = np.array([len(r.seq) for r in reads], dtype=np.int32)
+    # bucket the pad length to limit jit recompiles
+    L = int(math.ceil(max(int(lengths.max()), 32) / 32) * 32)
+    codes = np.full((len(reads), L), 4, dtype=np.uint8)
+    for i, r in enumerate(reads):
+        codes[i, : lengths[i]] = nthash.ASCII_TO_CODE[
+            np.frombuffer(r.seq, dtype=np.uint8)
+        ]
+    return ReadBatch(reads=reads, codes=codes, lengths=lengths)
+
+
+@dataclass
+class AlignStats:
+    received: int = 0
+    mapped: int = 0
+    multimapped: int = 0
+    alignment_count: int = 0
+    total_kmers: int = 0
+
+
+def run_align(
+    info: Info,
+    fastq: List[str],
+    bam_writer: Optional["bamio.BamWriter"] = None,
+    batch_size: int = DEFAULT_BATCH,
+) -> AlignStats:
+    """ReadMapper equivalent: map/weight/align every read. Returns stats."""
+    stats = AlignStats()
+    k = info.kmer_size
+    s = info.sketch_size
+    t = info.containment_threshold
+    index = info.db
+    no_align = info.sketch.no_exact_align
+
+    aligner = None
+    references = None
+    if not no_align:
+        references = bamio.build_references(info.store)
+        aligner = GraphAligner(info.store, references)
+
+    raw_count = 0
+    length_total = 0
+    for batch in batch_reads(
+        stream_fastq(fastq, fasta=info.sketch.fasta), batch_size
+    ):
+        raw_count += len(batch.reads)
+        length_total += int(batch.lengths.sum())
+        _process_batch(info, batch, aligner, bam_writer, stats, k, s, t)
+
+    if raw_count == 0:
+        raise ValueError("no fastq reads received")
+    log.info("\tnumber of reads received from input: %d", raw_count)
+    log.info("\tmean read length: %.0f", length_total / raw_count)
+    if stats.received == 0:
+        raise ValueError("no reads passed quality-based trimming")
+    log.info("\tnumber of reads sketched: %d", stats.received)
+
+    if stats.mapped == 0:
+        log.info("no reads could be mapped to the reference graphs")
+        info.store = {}
+        return stats
+    log.info("\ttotal number of unmapped reads: %d", stats.received - stats.mapped)
+    log.info("\ttotal number of mapped reads: %d", stats.mapped)
+    log.info("\t\tmapped to one graph: %d", stats.mapped - stats.multimapped)
+    log.info("\t\tmapped to multiple graphs: %d", stats.multimapped)
+    log.info("\ttotal number of exact alignments: %d", stats.alignment_count)
+
+    for g in info.store.values():
+        stats.total_kmers += int(g.kmer_total)
+    log.info("processing graphs...")
+    log.info(
+        "\ttotal number of k-mers projected onto graphs: %d", stats.total_kmers
+    )
+    info.haplotype.total_kmers = stats.total_kmers
+    return stats
+
+
+def _process_batch(info, batch, aligner, bam_writer, stats, k, s, t):
+    if (batch.lengths < k).any():
+        short = int(batch.lengths.min())
+        raise ValueError(
+            f"sequence length ({short}) is short than k-mer length ({k})"
+        )
+    hi, lo = nthash.khf_sketch(batch.codes, k, s, valid_len=batch.lengths)
+    kmer_counts = (batch.lengths - k + 1).astype(np.int32)
+    results = info.db.query_batch(np.asarray(hi), np.asarray(lo), kmer_counts, t)
+
+    for read, res, kc in zip(batch.reads, results, kmer_counts):
+        stats.received += 1
+        if not res:
+            continue
+        stats.mapped += 1
+        if len(res) > 1:
+            stats.multimapped += 1
+        for graph_id, mappings in res.items():
+            graph = info.store[graph_id]
+            if info.sketch.no_exact_align:
+                # weight every mapping (graphminion.go:64-72 with the
+                # alignment skipped)
+                for mapping in mappings:
+                    graph.increment_subpath(mapping.contained_nodes, float(kc))
+            else:
+                records, n_weighted = aligner.align_read(
+                    graph, read, mappings, float(kc)
+                )
+                stats.alignment_count += len(records)
+                if bam_writer is not None:
+                    for rec in records:
+                        bam_writer.write(rec)
+
+
+def prune_graphs(info: Info, min_kmer_coverage: float) -> List[str]:
+    """GraphPruner equivalent (sketch.go:378-430). Returns kept path names."""
+    kept_paths: List[str] = []
+    kept: Store = {}
+    counter = 0
+    for g in info.store.values():
+        counter += 1
+        if g.prune(min_kmer_coverage):
+            g.groot_version = info.version
+            kept[g.graph_id] = g
+            log.info(
+                "\tgraph %d has %d remaining paths after weighting and pruning",
+                g.graph_id,
+                len(g.paths),
+            )
+            for pid in sorted(g.paths):
+                log.info("\t- [%s]", g.paths[pid])
+                kept_paths.append(g.paths[pid])
+    if counter == 0:
+        return kept_paths
+    log.info("\ttotal number of graphs pruned: %d", counter)
+    if not kept:
+        log.info("\tno graphs remaining after pruning")
+        info.store = {}
+        return kept_paths
+    log.info("\ttotal number of graphs remaining: %d", len(kept))
+    log.info("\ttotal number of possible haplotypes found: %d", len(kept_paths))
+    info.store = kept
+    return kept_paths
+
+
+def save_graphs(info: Info, graph_dir: str, total_kmers: int) -> None:
+    """Write surviving weighted graphs as GFA (cmd/align.go:153-161)."""
+    if not info.store:
+        return
+    os.makedirs(graph_dir, exist_ok=True)
+    log.info("saving graphs...")
+    for graph_id in sorted(info.store):
+        file_name = os.path.join(graph_dir, f"groot-graph-{graph_id}.gfa")
+        info.store[graph_id].save_gfa(file_name, total_kmers)
