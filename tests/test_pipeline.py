@@ -68,26 +68,33 @@ def test_align_noalign_finds_oxa90(built_index, tmp_path):
     assert OXA90 in found
 
 
-def test_align_exact_finds_oxa90_and_writes_bam(built_index, tmp_path):
-    """3_sketch_test equivalent with exact alignment + BAM output."""
+@pytest.fixture(scope="module")
+def aligned(built_index, tmp_path_factory):
+    """Exact-align the OXA reads once; downstream stages share the result."""
+    tmp = tmp_path_factory.mktemp("aligned")
     info = Info.load(os.path.join(built_index, "groot.gg"))
     index = ContainmentIndex.load(os.path.join(built_index, "groot.lshe"))
     info.attach_db(index)
     info.containment_threshold = 0.99
     info.sketch = AlignCmd(min_kmer_coverage=10, no_exact_align=False)
-    bam_path = str(tmp_path / "out.bam")
+    bam_path = str(tmp / "out.bam")
     refs = bamio.build_references(info.store)
     with open(bam_path, "wb") as fh:
         writer = bamio.BamWriter(fh, refs)
         stats = run_align(info, [FASTQ], bam_writer=writer)
         writer.close()
-    assert stats.alignment_count > 0
     found = prune_graphs(info, info.sketch.min_kmer_coverage)
-    assert OXA90 in found
+    gfa_dir = str(tmp / "graphs")
+    save_graphs(info, gfa_dir, stats.total_kmers)
+    return info, stats, found, bam_path, gfa_dir
 
-    # save GFA (consumed by the haplotype stage)
-    save_graphs(info, str(tmp_path / "graphs"), stats.total_kmers)
-    assert os.path.exists(str(tmp_path / "graphs" / "groot-graph-0.gfa"))
+
+def test_align_exact_finds_oxa90_and_writes_bam(aligned):
+    """3_sketch_test equivalent with exact alignment + BAM output."""
+    info, stats, found, bam_path, gfa_dir = aligned
+    assert stats.alignment_count > 0
+    assert OXA90 in found
+    assert os.path.exists(os.path.join(gfa_dir, "groot-graph-0.gfa"))
 
     # BAM must be readable and contain records aligned to OXA-90
     read_refs, records = bamio.read_bam(bam_path)
@@ -101,3 +108,36 @@ def test_align_exact_finds_oxa90_and_writes_bam(built_index, tmp_path):
             oxa90_hits += 1
     assert count == stats.alignment_count
     assert oxa90_hits > 0
+
+
+def test_report_from_oxa_bam(aligned):
+    """Report stage on the OXA BAM: OXA-90 must be reported with full-ish
+    coverage at the reference's default cutoff."""
+    from groot_tpu.report.pileup import format_report, report_from_bam
+
+    _, _, _, bam_path, _ = aligned
+    annotations = report_from_bam(bam_path, coverage_cutoff=0.97)
+    names = [a.arg for a in annotations]
+    assert OXA90 in names
+    text = format_report(annotations)
+    row = [l for l in text.splitlines() if l.startswith(OXA90)][0]
+    arg, count, length, cigar = row.split("\t")
+    assert int(length) == 825
+    assert int(count) > 0
+    assert cigar.endswith("M") or "M" in cigar
+
+
+def test_haplotype_calls_oxa90(aligned):
+    """4_haplotype_test equivalent: EM on the weighted GFA calls OXA-90
+    (cutoff=1.0, iterations 50..10000)."""
+    from groot_tpu.config import HaploCmd
+    from groot_tpu.pipeline.haplotype import find_haplotypes, load_weighted_gfas
+
+    _, _, _, _, gfa_dir = aligned
+    info = Info()
+    info.haplotype = HaploCmd(cutoff=1.0, min_iterations=50, max_iterations=10000)
+    graphs = load_weighted_gfas(
+        info, [os.path.join(gfa_dir, "groot-graph-0.gfa")]
+    )
+    found = find_haplotypes(info, graphs)
+    assert OXA90 in found
