@@ -123,8 +123,22 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _enable_compilation_cache() -> None:
+    """Persist XLA compilations across CLI invocations."""
+    try:
+        import jax
+
+        cache_dir = os.path.expanduser("~/.cache/groot_tpu/jax")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # cache is an optimisation, never fatal
+        pass
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    _enable_compilation_cache()
     if args.cmd == "version":
         print(get_version())
         return 0

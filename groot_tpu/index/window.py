@@ -132,13 +132,23 @@ def sketch_graph(
     graph.num_distinct_sketches = 0
     graph.max_span = 0
 
+    # bucket (P, L) so XLA compiles once per bucket, not per graph
+    P, L = packed.codes.shape
+    Pb = max(4, 1 << (P - 1).bit_length())
+    Lb = -(-L // 512) * 512
+    codes = np.full((Pb, Lb), 4, dtype=np.uint8)
+    codes[:P, :L] = packed.codes
+    lens_b = np.zeros(Pb, dtype=np.int32)
+    lens_b[:P] = lengths
     hi, lo = window_sketches(
-        jnp.asarray(packed.codes),
-        jnp.asarray(lengths),
+        jnp.asarray(codes),
+        jnp.asarray(lens_b),
         kmer_size,
         sketch_size,
         window_size,
     )
+    hi = hi[:P, : L - window_size + 1]
+    lo = lo[:P, : L - window_size + 1]
     sketches = u64.to_np(np.asarray(hi), np.asarray(lo))  # [P, nw, s]
 
     window_lookup: Dict[str, List[Key]] = {}

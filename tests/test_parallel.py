@@ -1,0 +1,81 @@
+"""Multi-chip tests: device weighting == host weighting, and shard-count
+invariance of the merged tallies (the distributed-test design from SURVEY §4:
+N-way sharded run must equal the single-shard run)."""
+
+import numpy as np
+import pytest
+
+import __graft_entry__ as graft
+from groot_tpu.parallel.device_index import DeviceIndex, align_step, make_sharded_align_step
+from groot_tpu.parallel.mesh import make_mesh, pad_batch_for_mesh
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    info, index = graft._tiny_index()
+    dev = DeviceIndex.build(index, info.store, info.kmer_size, 0.99)
+    codes, lengths = graft._example_batch(info, batch=64)
+    return info, index, dev, codes, lengths
+
+
+def _step_kwargs(dev):
+    return dict(
+        k=dev.k,
+        s=dev.s,
+        band_k=dev.band_k,
+        num_window_kmers=dev.num_window_kmers,
+        num_nodes=dev.num_nodes,
+        num_graphs=dev.num_graphs,
+        threshold=0.99,
+    )
+
+
+def test_device_weighting_matches_host(tiny):
+    """align_step's scatter-add weights == GrootGraph.increment_subpath over
+    the same seeded mappings (noAlign semantics)."""
+    info, index, dev, codes, lengths = tiny
+    win, contain, node_w, graph_k, mapped = align_step(
+        dev.tree(), codes, lengths, **_step_kwargs(dev)
+    )
+    win = np.asarray(win)
+    node_w = np.asarray(node_w)
+
+    # host reference: replay the same hits through increment_subpath
+    for g in info.store.values():
+        for node in g.sorted_nodes:
+            node.kmer_freq = 0.0
+        g.kmer_total = 0.0
+    kcs = lengths - dev.k + 1
+    for b in range(codes.shape[0]):
+        for w in win[b]:
+            if w < 0:
+                continue
+            key = index.keys[int(w)]
+            info.store[key.graph_id].increment_subpath(
+                key.contained_nodes, float(kcs[b])
+            )
+    host_w = np.zeros(dev.num_nodes, dtype=np.float64)
+    for row, (gid, seg) in enumerate(dev.node_table):
+        host_w[row] = info.store[int(gid)].get_node(int(seg)).kmer_freq
+    np.testing.assert_allclose(node_w, host_w, rtol=2e-5)
+
+    host_gk = np.array(
+        [info.store[g].kmer_total for g in sorted(info.store)], dtype=np.float64
+    )
+    np.testing.assert_allclose(np.asarray(graph_k), host_gk, rtol=1e-6)
+
+
+def test_shard_count_invariance(tiny):
+    """Tallies merged over 8 shards == single-device run."""
+    info, index, dev, codes, lengths = tiny
+    base = align_step(dev.tree(), codes, lengths, **_step_kwargs(dev))
+    mesh = make_mesh(8)
+    step = make_sharded_align_step(mesh, dev, threshold=0.99)
+    codes_p, lengths_p, B = pad_batch_for_mesh(codes, lengths, 8)
+    win8, c8, nw8, gk8, mapped8 = step(dev.tree(), codes_p, lengths_p)
+    np.testing.assert_allclose(
+        np.asarray(nw8), np.asarray(base[2]), rtol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(gk8), np.asarray(base[3]), rtol=1e-6)
+    # per-read hit sets identical
+    assert (np.asarray(win8)[:B] == np.asarray(base[0])).all()
