@@ -223,11 +223,19 @@ def make_sharded_align_step(
 
     rep = P()
     shard = P(axis)
-    step = shard_map(
-        local_step,
-        mesh=mesh,
-        in_specs=(rep, shard, shard),
-        out_specs=(shard, shard, rep, rep, shard),
-        check_rep=False,
-    )
+    try:
+        step = shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(rep, shard, shard),
+            out_specs=(shard, shard, rep, rep, shard),
+        )
+    except TypeError:  # older API required check_rep for psum-into-replicated
+        step = shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(rep, shard, shard),
+            out_specs=(shard, shard, rep, rep, shard),
+            check_rep=False,
+        )
     return jax.jit(step)
