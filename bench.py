@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""groot_tpu benchmark: align throughput on one TPU chip.
+
+Workload (the reference's headline configuration, BASELINE.md): the full
+arg-annot.90 database indexed at w=150 k=31 s=20, then `align` (sketch ->
+LSH seed -> weight -> exact alignment -> BAM) over 150bp reads at t=0.99.
+
+Reads: /root/reference/testing/data/argannot-150bp-10000-reads.fq.gz
+(10,000 perfect reads drawn across the whole database).
+
+Baseline: the Go reference cannot be executed in this image (no Go
+toolchain), so the denominator is its documented single-CPU throughput claim
+of "a typical 2 gigabyte metagenome in 2 minutes"
+(/root/reference/docs/index.rst:21). 2 GB of 150bp FASTQ at ~260 B/record is
+~7.7M reads / 120 s ~= 64,000 reads/s; vs_baseline = measured / 64000.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import argparse
+import json
+import os
+import sys
+import tarfile
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+DB_TAR = "/root/reference/db/clustered-ARG-databases/1.1/arg-annot.90.tar"
+READS = "/root/reference/testing/data/argannot-150bp-10000-reads.fq.gz"
+BASELINE_READS_PER_S = 64000.0
+CACHE = os.path.join(REPO, ".bench")
+
+
+def ensure_index() -> str:
+    """Build (once) and cache the arg-annot.90 index at w=150 k=31 s=20."""
+    index_dir = os.path.join(CACHE, "arg-annot.90-w150-k31-s20")
+    stamp = os.path.join(index_dir, "groot.gg")
+    if os.path.exists(stamp):
+        return index_dir
+    from groot_tpu.config import Info
+    from groot_tpu.pipeline.index_pipeline import run_index
+
+    os.makedirs(CACHE, exist_ok=True)
+    with tempfile.TemporaryDirectory() as tmp:
+        with tarfile.open(DB_TAR) as tar:
+            tar.extractall(tmp, filter="data")
+        info = Info(
+            kmer_size=31,
+            sketch_size=20,
+            window_size=150,
+            index_dir=index_dir,
+        )
+        t0 = time.time()
+        run_index(info, os.path.join(tmp, "arg-annot.90"))
+        print(f"# index built in {time.time()-t0:.1f}s", file=sys.stderr)
+    return index_dir
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--noAlign", action="store_true", help="seed+weight only")
+    ap.add_argument("--batchSize", type=int, default=4096)
+    ap.add_argument("--repeat", type=int, default=1, help="replicate the read file N times")
+    args = ap.parse_args()
+
+    # persistent compilation cache (first TPU run compiles ~10-20 shapes)
+    try:
+        import jax
+
+        cache_dir = os.path.expanduser("~/.cache/groot_tpu/jax")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+    index_dir = ensure_index()
+
+    from groot_tpu.config import AlignCmd, Info
+    from groot_tpu.index.lshe import ContainmentIndex
+    from groot_tpu.io import bam as bamio
+    from groot_tpu.pipeline.align_pipeline import prune_graphs, run_align
+
+    t0 = time.time()
+    info = Info.load(os.path.join(index_dir, "groot.gg"))
+    info.attach_db(ContainmentIndex.load(os.path.join(index_dir, "groot.lshe")))
+    print(f"# index loaded in {time.time()-t0:.1f}s", file=sys.stderr)
+    info.containment_threshold = 0.99
+    info.sketch = AlignCmd(min_kmer_coverage=1.0, no_exact_align=args.noAlign)
+
+    reads = [READS] * args.repeat
+    writer = None
+    bam_fh = None
+    if not args.noAlign:
+        refs = bamio.build_references(info.store)
+        bam_fh = open(os.path.join(CACHE, "bench.bam"), "wb")
+        writer = bamio.BamWriter(bam_fh, refs)
+
+    t0 = time.time()
+    stats = run_align(info, reads, bam_writer=writer, batch_size=args.batchSize)
+    elapsed = time.time() - t0
+    if writer is not None:
+        writer.close()
+        bam_fh.close()
+    prune_graphs(info, 1.0)
+
+    reads_per_s = stats.received / elapsed
+    print(
+        f"# {stats.received} reads in {elapsed:.1f}s; mapped={stats.mapped} "
+        f"alignments={stats.alignment_count}",
+        file=sys.stderr,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "align_reads_per_s_per_chip",
+                "value": round(reads_per_s, 1),
+                "unit": "reads/s",
+                "vs_baseline": round(reads_per_s / BASELINE_READS_PER_S, 4),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

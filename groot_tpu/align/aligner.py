@@ -101,9 +101,14 @@ class _GraphPack:
         if oh is None:
             codes = self.packed.codes
             P, L = codes.shape
-            padded = np.full((P, L + extra_pad), 4, dtype=np.uint8)
-            padded[:, :L] = codes
-            oh = np.zeros((P, L + extra_pad, 5), dtype=np.float32)
+            # bucket P (pow2) and L (multiple of 512) so XLA compiles once
+            # per bucket across graphs; pad rows/columns are wildcard and
+            # never queried by the cascade (it only reads real path rows)
+            Pb = max(4, 1 << (P - 1).bit_length())
+            Lb = -(-L // 512) * 512 + extra_pad
+            padded = np.full((Pb, Lb), 4, dtype=np.uint8)
+            padded[:P, :L] = codes
+            oh = np.zeros((Pb, Lb, 5), dtype=np.float32)
             for b in range(4):
                 oh[:, :, b] = padded == b
             wild = padded == 4  # N in graph or padding: matches anything
@@ -159,58 +164,80 @@ class GraphAligner:
         mappings: List,
         kmer_count: float,
     ) -> Tuple[List[AlignmentRecord], int]:
-        """graphMinion semantics (graphminion.go:46-102): weight then try to
-        align each mapping (fwd then RC); first successful mapping wins and
-        later mappings are neither weighted nor aligned."""
-        gp = self.pack(graph)
-        Lr = len(read.seq)
-        bits, W = self._read_match_bits(gp, read)
+        """Single-read convenience wrapper over align_read_batch."""
+        out = self.align_read_batch(graph, [(read, mappings, kmer_count)])
+        return out[0]
 
-        records: List[AlignmentRecord] = []
-        weighted = 0
-        for mapping in mappings:
-            graph.increment_subpath(mapping.contained_nodes, kmer_count)
-            weighted += 1
-            hit = None
-            for ori in (0, 1):
-                hit = self._cascade(gp, bits, ori, Lr, mapping)
+    def align_read_batch(
+        self, graph: GrootGraph, items: List[Tuple[FastqRead, List, float]]
+    ) -> List[Tuple[List[AlignmentRecord], int]]:
+        """graphMinion semantics (graphminion.go:46-102) for a batch of reads
+        seeded to one graph: weight then try to align each mapping (fwd then
+        RC); the first successful mapping wins and later mappings are neither
+        weighted nor aligned.
+
+        One MXU correlation covers every read x orientation x clip-variant;
+        the cascade itself is host bit tests."""
+        gp = self.pack(graph)
+        bits = self._batch_match_bits(gp, [it[0] for it in items])
+        out: List[Tuple[List[AlignmentRecord], int]] = []
+        for r, (read, mappings, kmer_count) in enumerate(items):
+            Lr = len(read.seq)
+            records: List[AlignmentRecord] = []
+            weighted = 0
+            for mapping in mappings:
+                graph.increment_subpath(mapping.contained_nodes, kmer_count)
+                weighted += 1
+                hit = None
+                for ori in (0, 1):
+                    hit = self._cascade(gp, bits[r], ori, Lr, mapping)
+                    if hit is not None:
+                        records = self._build_records(graph, read, ori, Lr, hit)
+                        break
                 if hit is not None:
-                    records = self._build_records(graph, read, ori, Lr, hit)
                     break
-            if hit is not None:
-                break
-        return records, weighted
+            out.append((records, weighted))
+        return out
 
     # ------------------------------------------------------------------
-    def _read_match_bits(self, gp: _GraphPack, read: FastqRead):
-        """Match volume for one read: bits [6, P, W32]; variant rows are
-        (fwd|rc) x (full|clip-start|clip-end)."""
-        codes = ASCII_TO_CODE[np.frombuffer(read.seq, dtype=np.uint8)]
-        rc = RC_CODE_NP[codes][::-1]
-        Lr = len(codes)
-        kernels = np.zeros((6, Lr, 5), dtype=np.float32)
-        eff = np.zeros(6, dtype=np.int32)
-        for o, cs in enumerate((codes, rc)):
-            oh = np.zeros((Lr, 5), dtype=np.float32)
-            oh[np.arange(Lr), cs] = 1.0
-            kernels[o * 3 + 0] = oh
-            eff[o * 3 + 0] = Lr
-            # clip-start: read[1:] aligned at the probe offset
-            oh_s = np.zeros_like(oh)
-            oh_s[: Lr - 1] = oh[1:]
-            kernels[o * 3 + 1] = oh_s
-            eff[o * 3 + 1] = Lr - 1
-            # clip-end: drop the last base
-            oh_e = oh.copy()
-            oh_e[Lr - 1] = 0.0
-            kernels[o * 3 + 2] = oh_e
-            eff[o * 3 + 2] = Lr - 1
-        path_oh = gp.onehot(extra_pad=Lr)
+    def _batch_match_bits(self, gp: _GraphPack, reads: List[FastqRead]):
+        """Match volumes for a read batch: bits [R, 6, P, W32]; variant rows
+        are (fwd|rc) x (full|clip-start|clip-end). Shapes are bucketed
+        (reads padded with zero rows, Lr to a multiple of 32, R to a power
+        of two) so XLA compiles once per bucket."""
+        R = len(reads)
+        Lr_max = max(len(r.seq) for r in reads)
+        Lr_b = -(-max(Lr_max, 32) // 32) * 32
+        R_b = max(1, 1 << (R - 1).bit_length()) if R > 1 else 1
+        kernels = np.zeros((R_b * 6, Lr_b, 5), dtype=np.float32)
+        eff = np.full(R_b * 6, -1, dtype=np.int32)  # -1 never matches
+        for r, read in enumerate(reads):
+            codes = ASCII_TO_CODE[np.frombuffer(read.seq, dtype=np.uint8)]
+            rc = RC_CODE_NP[codes][::-1]
+            Lr = len(codes)
+            for o, cs in enumerate((codes, rc)):
+                oh = np.zeros((Lr_b, 5), dtype=np.float32)
+                oh[np.arange(Lr), cs] = 1.0
+                base = r * 6 + o * 3
+                kernels[base + 0] = oh
+                eff[base + 0] = Lr
+                # clip-start: read[1:] aligned at the probe offset
+                oh_s = np.zeros_like(oh)
+                oh_s[: Lr - 1] = oh[1:Lr]
+                kernels[base + 1] = oh_s
+                eff[base + 1] = Lr - 1
+                # clip-end: drop the last base
+                oh_e = oh.copy()
+                oh_e[Lr - 1] = 0.0
+                kernels[base + 2] = oh_e
+                eff[base + 2] = Lr - 1
+        path_oh = gp.onehot(extra_pad=Lr_b)
         bits = np.asarray(
             _match_bits(jnp.asarray(path_oh), jnp.asarray(kernels), jnp.asarray(eff))
         )
-        W = path_oh.shape[1] - Lr + 1
-        return bits, W
+        P = path_oh.shape[0]
+        W32 = bits.shape[-1]
+        return bits.reshape(R_b, 6, P, W32)[:R]
 
     # ------------------------------------------------------------------
     @staticmethod

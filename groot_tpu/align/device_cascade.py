@@ -1,0 +1,505 @@
+"""Device-resident hierarchical alignment (aligner v2).
+
+Same semantics as groot_tpu.align.aligner (the reference cascade of
+/root/reference/src/graph/alignment.go + graphminion.go), but the entire
+probe cascade runs ON DEVICE and only a ~50-byte winner summary per read
+returns to the host. This matters twice over:
+
+  * on real hardware every device->host fetch of match bits costs a full
+    interconnect round trip (the per-graph bits volume is ~100KB x 583
+    graphs x batches); the winner summary is 3 orders of magnitude smaller;
+  * it removes the per-read Python cascade from the hot path.
+
+Winner summary per (read, graph): success flag, winning mapping index,
+orientation, stage, probe node row + in-node offset, clip counts, and the
+matching-path bitmask. The host reconstructs SAM records from its node
+position tables (start_p = pos_p(node) + offset, alignment.go:294-296) and
+replays increment_subpath for mappings up to the winner.
+
+Per-graph static arrays are uploaded once and cached on device; per batch
+only read codes and mapping indices move host->device.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.grootgraph import GrootGraph
+from ..io.fastx import FastqRead
+from ..ops.nthash import ASCII_TO_CODE, CODE_TO_ASCII, RC_CODE_NP
+from .aligner import AlignmentRecord, MAX_CLIP, NODE_SHUFFLES, _GraphPack
+
+INF = np.int32(2**30)
+
+
+class _DeviceGraph:
+    """Per-graph device arrays (uploaded once)."""
+
+    def __init__(self, graph: GrootGraph):
+        gp = _GraphPack(graph)
+        self.gp = gp
+        P = len(gp.path_ids)
+        self.P = P
+        self.Pb = max(4, 1 << (P - 1).bit_length())
+        codes = gp.packed.codes
+        L = codes.shape[1]
+        # trailing wildcard pad must cover the longest read so overhang
+        # probes (dead-end partials, alignment.go:229) see match-anything
+        self.max_read = 352
+        self.Lb = -(-(L + self.max_read) // 512) * 512
+        padded = np.full((self.Pb, self.Lb), 4, dtype=np.uint8)
+        padded[:P, :L] = codes
+        self.codes = jnp.asarray(padded)
+        # node tables: row index = dense node rank (sorted segment id)
+        self.node_ids = sorted(gp.node_pos)
+        self.node_rank = {nid: i for i, nid in enumerate(self.node_ids)}
+        Nn = len(self.node_ids)
+        node_pos = np.full((Nn + 1, self.Pb), -1, dtype=np.int32)  # +1 pad row
+        node_len = np.zeros(Nn + 1, dtype=np.int32)
+        for i, nid in enumerate(self.node_ids):
+            node_len[i] = gp.node_len[nid]
+            for row, pid in enumerate(gp.path_ids):
+                pos = gp.node_pos[nid].get(pid)
+                if pos is not None:
+                    node_pos[i, row] = pos
+        self.node_pos = jnp.asarray(node_pos)
+        self.node_len = jnp.asarray(node_len)
+        self.pad_node = Nn  # rank used for padding (no paths, zero length)
+        path_len = np.zeros(self.Pb, dtype=np.int32)
+        path_len[:P] = gp.lengths
+        self.path_len = jnp.asarray(path_len)
+        term = np.zeros(self.Pb, dtype=bool)
+        for row, pid in enumerate(gp.path_ids):
+            term[row] = gp.terminal_free[pid]
+        self.terminal_free = jnp.asarray(term)
+
+
+@dataclass
+class _Buckets:
+    Lr: int
+    R: int
+    Mx: int
+    Cn: int
+    S1: int
+
+
+def _bucket(x: int, mults: Tuple[int, ...]) -> int:
+    for m in mults:
+        if x <= m:
+            return m
+    return mults[-1]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("S1", "n_shuffles"),
+)
+def _device_cascade(
+    path_codes,      # u8 [Pb, Lb]
+    node_pos,        # i32 [Nn+1, Pb]
+    node_len,        # i32 [Nn+1]
+    path_len,        # i32 [Pb]
+    terminal_free,   # bool [Pb]
+    read_codes,      # u8 [R, Lr]
+    read_len,        # i32 [R]
+    map_valid,       # bool [R, Mx]
+    seed_idx,        # i32 [R, Mx] node rank
+    seed_offset,     # i32 [R, Mx]
+    span_limit,      # i32 [R, Mx] mergeSpan + windowSize
+    contained_idx,   # i32 [R, Mx, Cn] node ranks (pad row when absent)
+    S1: int,
+    n_shuffles: int = NODE_SHUFFLES,
+):
+    """Full cascade for one graph x read-group. Returns per read:
+    (found, win_m, win_ori, win_stage, win_node, win_off, clip_s, clip_e,
+    ids_mask [Pb] bool)."""
+    Pb, Lb = path_codes.shape
+    R, Lr = read_codes.shape
+    Mx = map_valid.shape[1]
+    Cn = contained_idx.shape[2]
+
+    # ---- one-hot path matrix with wildcard rows (N/pad match anything)
+    codes32 = path_codes.astype(jnp.int32)
+    base_oh = (codes32[:, :, None] == jnp.arange(4)[None, None, :])
+    wild = (codes32 == 4)[:, :, None]
+    path_oh = jnp.concatenate(
+        [base_oh | wild, wild], axis=-1
+    ).astype(jnp.bfloat16)  # [Pb, Lb, 5]
+
+    # ---- read kernels: (fwd|rc) x (full|clip_start|clip_end)
+    rc_tab = jnp.asarray(RC_CODE_NP.astype(np.int32))
+    rcodes = read_codes.astype(jnp.int32)
+    valid_pos = jnp.arange(Lr)[None, :] < read_len[:, None]
+    fwd = jnp.where(valid_pos, rcodes, 5)  # 5 = no channel (zero row)
+    # rc: reverse within valid length: index = len-1-j for j < len
+    rev_idx = jnp.clip(read_len[:, None] - 1 - jnp.arange(Lr)[None, :], 0, Lr - 1)
+    rc = jnp.where(valid_pos, rc_tab[jnp.take_along_axis(rcodes, rev_idx, 1)], 5)
+
+    def onehot_read(c):  # [R, Lr] codes -> [R, Lr, 5]
+        return (c[:, :, None] == jnp.arange(5)[None, None, :]).astype(jnp.bfloat16)
+
+    def clip_start(c):  # shift left one: read[1:]
+        shifted = jnp.concatenate([c[:, 1:], jnp.full((R, 1), 5, c.dtype)], axis=1)
+        return shifted
+
+    def clip_end(c):  # zero the last REAL base
+        last = read_len[:, None] - 1
+        return jnp.where(jnp.arange(Lr)[None, :] == last, 5, c)
+
+    kernels = jnp.stack(
+        [
+            onehot_read(fwd),
+            onehot_read(clip_start(fwd)),
+            onehot_read(clip_end(fwd)),
+            onehot_read(rc),
+            onehot_read(clip_start(rc)),
+            onehot_read(clip_end(rc)),
+        ],
+        axis=1,
+    ).reshape(R * 6, Lr, 5)  # [R6, Lr, 5]
+    eff = jnp.stack(
+        [read_len, read_len - 1, read_len - 1] * 2, axis=1
+    ).reshape(R * 6)  # full uses Lr, clips Lr-1 (ori order matches stack)
+
+    counts = jax.lax.conv_general_dilated(
+        path_oh,
+        kernels,
+        window_strides=(1,),
+        padding="VALID",  # trailing wildcard pad in path_codes covers overhang
+        dimension_numbers=("NHC", "OHI", "NHC"),
+        preferred_element_type=jnp.float32,
+    )  # [Pb, W, K]
+    W = Lb - Lr + 1
+    M = (counts == eff[None, None, :].astype(jnp.float32)).transpose(2, 0, 1)
+    M = M.reshape(R, 6, Pb, W)  # [R, 6(variants: f,fs,fe,r,rs,re), Pb, W]
+
+    eff_full = read_len  # [R]
+    eff_clip = read_len - 1
+
+    def probe(m_var, starts, o_node, nlen, eff_r):
+        """One probe: m_var [Pb, W] match row set for (read, variant);
+        starts [Pb] path start positions (-1 absent); o_node scalar in-node
+        offset; nlen node length; eff_r effective read length.
+        Returns ok [Pb] bool."""
+        valid = (
+            (starts >= 0)
+            & (o_node < nlen)
+            & (starts < path_len)
+        )
+        safe = jnp.clip(starts, 0, W - 1)
+        bit = jnp.take_along_axis(m_var, safe[:, None], axis=1)[:, 0]
+        over_ok = (starts + eff_r <= path_len) | terminal_free
+        return valid & bit & over_ok
+
+    def per_read_mapping(r_M, eff_f, eff_c, rlen, valid_m, s_idx, s_off, s_lim, c_idx):
+        """Cascade for ONE (read, mapping); r_M [6, Pb, W]."""
+
+        def per_ori(ori):
+            v_full = r_M[ori * 3 + 0]
+            v_cs = r_M[ori * 3 + 1]
+            v_ce = r_M[ori * 3 + 2]
+            seed_starts = node_pos[s_idx]  # [Pb]
+            seed_len = node_len[s_idx]
+
+            # stage 1: offset shuffles 0..span_limit
+            j = jnp.arange(S1)
+            starts1 = jnp.where(
+                seed_starts[:, None] >= 0, seed_starts[:, None] + s_off + j[None, :], -1
+            )
+            ok1 = (
+                (j[None, :] <= s_lim)
+                & (starts1 >= 0)
+                & (s_off + j[None, :] < seed_len)
+                & (starts1 < path_len[:, None])
+            )
+            safe1 = jnp.clip(starts1, 0, W - 1)
+            bits1 = jnp.take_along_axis(v_full, safe1, axis=1)
+            over1 = (starts1 + eff_f <= path_len[:, None]) | terminal_free[:, None]
+            ok1 = ok1 & bits1 & over1  # [Pb, S1]
+            any1 = ok1.any(axis=0)  # [S1]
+            j1 = jnp.argmax(any1)  # first winning shuffle
+            s1_found = any1.any()
+            ids1 = ok1[:, j1]
+
+            # stage 2: contained-node shuffles 0..n_shuffles
+            c_starts = node_pos[c_idx]  # [Cn, Pb]
+            c_len = node_len[c_idx]  # [Cn]
+            j2 = jnp.arange(n_shuffles + 1)
+            starts2 = jnp.where(
+                c_starts[:, :, None] >= 0, c_starts[:, :, None] + j2[None, None, :], -1
+            )  # [Cn, Pb, J]
+            ok2 = (
+                (starts2 >= 0)
+                & (j2[None, None, :] < c_len[:, None, None])
+                & (starts2 < path_len[None, :, None])
+            )
+            safe2 = jnp.clip(starts2, 0, W - 1)
+            bits2 = v_full[jnp.arange(Pb)[None, :, None], safe2]
+            over2 = (starts2 + eff_f <= path_len[None, :, None]) | terminal_free[
+                None, :, None
+            ]
+            ok2 = ok2 & bits2 & over2  # [Cn, Pb, J]
+            any2 = ok2.any(axis=1)  # [Cn, J]
+            prio2 = jnp.where(
+                any2,
+                jnp.arange(Cn)[:, None] * (n_shuffles + 1) + j2[None, :],
+                INF,
+            )
+            best2 = jnp.min(prio2)
+            s2_found = best2 < INF
+            c2 = best2 // (n_shuffles + 1)
+            jj2 = best2 % (n_shuffles + 1)
+            ids2 = ok2[c2, :, jj2]
+
+            # stages 3/4: clipped probes at the original seed offset
+            ok3 = probe(v_cs, seed_starts + s_off, s_off, seed_len, eff_c)
+            ok3 = jnp.where(seed_starts >= 0, ok3, False)
+            s3_found = ok3.any()
+            ok4 = probe(v_ce, seed_starts + s_off, s_off, seed_len, eff_c)
+            ok4 = jnp.where(seed_starts >= 0, ok4, False)
+            s4_found = ok4.any()
+
+            found = s1_found | s2_found | s3_found | s4_found
+            stage = jnp.where(
+                s1_found, 1, jnp.where(s2_found, 2, jnp.where(s3_found, 3, 4))
+            )
+            win_node = jnp.where(s2_found & ~s1_found, c_idx[c2], s_idx)
+            win_off = jnp.where(
+                s1_found,
+                s_off + j1,
+                jnp.where(s2_found, jj2, s_off),
+            )
+            ids = jnp.where(
+                s1_found,
+                ids1,
+                jnp.where(s2_found & ~s1_found, ids2, jnp.where(s3_found, ok3, ok4)),
+            )
+            return found, stage, win_node, win_off, ids
+
+        f0, st0, n0, o0, ids0 = per_ori(0)
+        f1, st1, n1, o1, ids1 = per_ori(1)
+        found = f0 | f1
+        use0 = f0
+        return (
+            found & valid_m,
+            jnp.where(use0, 0, 1),
+            jnp.where(use0, st0, st1),
+            jnp.where(use0, n0, n1),
+            jnp.where(use0, o0, o1),
+            jnp.where(use0[..., None], ids0, ids1),
+        )
+
+    # vmap over mappings then reads
+    vm = jax.vmap(
+        per_read_mapping,
+        in_axes=(None, None, None, None, 0, 0, 0, 0, 0),
+    )
+    vr = jax.vmap(vm, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0))
+    found, ori, stage, node, off, ids = vr(
+        M,
+        eff_full,
+        eff_clip,
+        read_len,
+        map_valid,
+        seed_idx,
+        seed_offset,
+        span_limit,
+        contained_idx,
+    )  # each [R, Mx] (+ ids [R, Mx, Pb])
+
+    # first successful mapping wins (mappings are pre-sorted by node/offset)
+    win_m = jnp.argmax(found, axis=1)  # [R]
+    any_found = found.any(axis=1)
+    take = lambda a: jnp.take_along_axis(a, win_m[:, None], axis=1)[:, 0]
+    win_ori = take(ori)
+    win_stage = take(stage)
+    win_node = take(node)
+    win_off = take(off)
+    win_ids = jnp.take_along_axis(ids, win_m[:, None, None], axis=1)[:, 0]
+    clip_s = jnp.where(win_stage == 3, MAX_CLIP, 0)
+    clip_e = jnp.where(win_stage == 4, MAX_CLIP, 0)
+    return (
+        any_found,
+        win_m.astype(jnp.int32),
+        win_ori.astype(jnp.int32),
+        win_stage.astype(jnp.int32),
+        win_node.astype(jnp.int32),
+        win_off.astype(jnp.int32),
+        clip_s.astype(jnp.int32),
+        clip_e.astype(jnp.int32),
+        win_ids,
+    )
+
+
+class DeviceAligner:
+    """Drop-in alternative to GraphAligner with the cascade on device."""
+
+    R_BUCKETS = (1, 4, 16, 64, 256)
+    M_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
+    C_BUCKETS = (4, 8, 16, 32, 64)
+
+    def __init__(self, store: Dict[int, GrootGraph], references=None):
+        self.store = store
+        self._graphs: Dict[int, _DeviceGraph] = {}
+
+    def graph_dev(self, graph: GrootGraph) -> _DeviceGraph:
+        dg = self._graphs.get(graph.graph_id)
+        if dg is None:
+            dg = _DeviceGraph(graph)
+            self._graphs[graph.graph_id] = dg
+        return dg
+
+    MEM_BUDGET = 256 * 1024 * 1024  # bytes for the biggest cascade temporary
+
+    def align_read_batch(
+        self, graph: GrootGraph, items: List[Tuple[FastqRead, List, float]]
+    ) -> List[Tuple[List[AlignmentRecord], int]]:
+        dg = self.graph_dev(graph)
+        # chunk the group so the [R, Mx, Cn, Pb, J] / [R, Mx, Pb, S1]
+        # temporaries stay within budget
+        Mx = max(len(it[1]) for it in items)
+        Cn = max(
+            (len(m.contained_nodes) for it in items for m in it[1]), default=1
+        )
+        s1 = 1 + max(
+            (int(m.merge_span + m.window_size) for it in items for m in it[1]),
+            default=1,
+        )
+        per_read = (
+            4 * max(1, Mx) * dg.Pb * max(s1, Cn * (NODE_SHUFFLES + 1))
+        )
+        max_r = max(1, min(self.MEM_BUDGET // max(per_read, 1), self.R_BUCKETS[-1]))
+        if len(items) > max_r:
+            out: List[Tuple[List[AlignmentRecord], int]] = []
+            for i in range(0, len(items), max_r):
+                out.extend(self._align_chunk(graph, dg, items[i : i + max_r]))
+            return out
+        return self._align_chunk(graph, dg, items)
+
+    def _align_chunk(
+        self, graph, dg: _DeviceGraph, items: List[Tuple[FastqRead, List, float]]
+    ) -> List[Tuple[List[AlignmentRecord], int]]:
+        R = len(items)
+        Rb = _bucket(R, self.R_BUCKETS)
+        Lr_max = max(len(it[0].seq) for it in items)
+        Lr = -(-max(Lr_max, 32) // 32) * 32
+        Mx = _bucket(max(len(it[1]) for it in items), self.M_BUCKETS)
+        Cn = _bucket(
+            max(
+                (len(m.contained_nodes) for it in items for m in it[1]),
+                default=1,
+            ),
+            self.C_BUCKETS,
+        )
+        s1_need = 1 + max(
+            (int(m.merge_span + m.window_size) for it in items for m in it[1]),
+            default=1,
+        )
+        S1 = -(-s1_need // 128) * 128
+
+        read_codes = np.full((Rb, Lr), 4, dtype=np.uint8)
+        read_len = np.zeros(Rb, dtype=np.int32)
+        map_valid = np.zeros((Rb, Mx), dtype=bool)
+        seed_idx = np.full((Rb, Mx), dg.pad_node, dtype=np.int32)
+        seed_offset = np.zeros((Rb, Mx), dtype=np.int32)
+        span_limit = np.full((Rb, Mx), -1, dtype=np.int32)
+        contained_idx = np.full((Rb, Mx, Cn), dg.pad_node, dtype=np.int32)
+        for r, (read, mappings, _kc) in enumerate(items):
+            codes = ASCII_TO_CODE[np.frombuffer(read.seq, np.uint8)]
+            read_codes[r, : len(codes)] = codes
+            read_len[r] = len(codes)
+            for m, mapping in enumerate(mappings[:Mx]):
+                map_valid[r, m] = True
+                seed_idx[r, m] = dg.node_rank[mapping.node]
+                seed_offset[r, m] = mapping.offset
+                span_limit[r, m] = int(mapping.merge_span + mapping.window_size)
+                for c, nid in enumerate(sorted(mapping.contained_nodes)[:Cn]):
+                    contained_idx[r, m, c] = dg.node_rank[nid]
+
+        out = _device_cascade(
+            dg.codes,
+            dg.node_pos,
+            dg.node_len,
+            dg.path_len,
+            dg.terminal_free,
+            jnp.asarray(read_codes),
+            jnp.asarray(read_len),
+            jnp.asarray(map_valid),
+            jnp.asarray(seed_idx),
+            jnp.asarray(seed_offset),
+            jnp.asarray(span_limit),
+            jnp.asarray(contained_idx),
+            S1,
+        )
+        (found, win_m, win_ori, win_stage, win_node, win_off, clip_s, clip_e,
+         win_ids) = (np.asarray(o) for o in out)
+
+        results: List[Tuple[List[AlignmentRecord], int]] = []
+        gp = dg.gp
+        for r, (read, mappings, kmer_count) in enumerate(items):
+            n_weighted = (
+                int(win_m[r]) + 1 if found[r] else len(mappings)
+            )
+            n_weighted = min(n_weighted, len(mappings))
+            for mapping in mappings[:n_weighted]:
+                graph.increment_subpath(mapping.contained_nodes, kmer_count)
+            records: List[AlignmentRecord] = []
+            if found[r]:
+                records = self._build_records(
+                    graph,
+                    gp,
+                    dg,
+                    read,
+                    int(win_ori[r]),
+                    int(win_node[r]),
+                    int(win_off[r]),
+                    int(clip_s[r]),
+                    int(clip_e[r]),
+                    win_ids[r],
+                )
+            results.append((records, n_weighted))
+        return results
+
+    def _build_records(
+        self, graph, gp, dg, read, ori, node_rank, o_node, cs, ce, ids_mask
+    ) -> List[AlignmentRecord]:
+        node_id = dg.node_ids[node_rank]
+        pos_map = gp.node_pos[node_id]
+        seq = read.seq
+        qual = read.qual
+        if ori == 1:
+            codes = ASCII_TO_CODE[np.frombuffer(read.seq, np.uint8)]
+            seq = CODE_TO_ASCII[RC_CODE_NP[codes][::-1]].tobytes()
+            qual = read.qual[::-1]
+        Lr = len(read.seq)
+        seq_len = Lr - cs - ce
+        aligned = seq[cs : cs + seq_len]
+        aligned_qual = qual[cs : cs + seq_len] if qual else b""
+        records = []
+        hit_pids = [
+            pid
+            for row, pid in enumerate(gp.path_ids)
+            if ids_mask[row] and pid in pos_map
+        ]
+        for i, pid in enumerate(sorted(hit_pids)):
+            records.append(
+                AlignmentRecord(
+                    name=read.id[1:].decode(),
+                    graph_id=graph.graph_id,
+                    path_id=pid,
+                    pos=pos_map[pid] + o_node,
+                    seq=aligned,
+                    qual=aligned_qual,
+                    start_clip=cs,
+                    end_clip=ce,
+                    reverse=ori == 1,
+                    secondary=len(hit_pids) > 1 and i != 0,
+                )
+            )
+        return records

@@ -93,7 +93,12 @@ def run_align(
     references = None
     if not no_align:
         references = bamio.build_references(info.store)
-        aligner = GraphAligner(info.store, references)
+        if os.environ.get("GROOT_HOST_ALIGNER"):
+            aligner = GraphAligner(info.store, references)
+        else:
+            from ..align.device_cascade import DeviceAligner
+
+            aligner = DeviceAligner(info.store, references)
 
     raw_count = 0
     length_total = 0
@@ -142,6 +147,9 @@ def _process_batch(info, batch, aligner, bam_writer, stats, k, s, t):
     kmer_counts = (batch.lengths - k + 1).astype(np.int32)
     results = info.db.query_batch(np.asarray(hi), np.asarray(lo), kmer_counts, t)
 
+    # group seeded reads per graph (the per-graph minion queues of
+    # boss.go:122-131 become a batch dimension)
+    per_graph: Dict[int, List] = {}
     for read, res, kc in zip(batch.reads, results, kmer_counts):
         stats.received += 1
         if not res:
@@ -150,16 +158,19 @@ def _process_batch(info, batch, aligner, bam_writer, stats, k, s, t):
         if len(res) > 1:
             stats.multimapped += 1
         for graph_id, mappings in res.items():
-            graph = info.store[graph_id]
-            if info.sketch.no_exact_align:
-                # weight every mapping (graphminion.go:64-72 with the
-                # alignment skipped)
+            per_graph.setdefault(graph_id, []).append(
+                (read, mappings, float(kc))
+            )
+
+    for graph_id, items in per_graph.items():
+        graph = info.store[graph_id]
+        if info.sketch.no_exact_align:
+            # weight every mapping (graphminion.go:64-72, alignment skipped)
+            for _read, mappings, kc in items:
                 for mapping in mappings:
-                    graph.increment_subpath(mapping.contained_nodes, float(kc))
-            else:
-                records, n_weighted = aligner.align_read(
-                    graph, read, mappings, float(kc)
-                )
+                    graph.increment_subpath(mapping.contained_nodes, kc)
+        else:
+            for records, _n in aligner.align_read_batch(graph, items):
                 stats.alignment_count += len(records)
                 if bam_writer is not None:
                     for rec in records:
