@@ -324,17 +324,22 @@ def _device_cascade(
     win_ids = jnp.take_along_axis(ids, win_m[:, None, None], axis=1)[:, 0]
     clip_s = jnp.where(win_stage == 3, MAX_CLIP, 0)
     clip_e = jnp.where(win_stage == 4, MAX_CLIP, 0)
-    return (
-        any_found,
-        win_m.astype(jnp.int32),
-        win_ori.astype(jnp.int32),
-        win_stage.astype(jnp.int32),
-        win_node.astype(jnp.int32),
-        win_off.astype(jnp.int32),
-        clip_s.astype(jnp.int32),
-        clip_e.astype(jnp.int32),
-        win_ids,
+    # pack everything into ONE i32 matrix so the host pays a single fetch:
+    # [R, 8 + Pb] = (found, m, ori, stage, node, off, clip_s, clip_e, ids...)
+    scalars = jnp.stack(
+        [
+            any_found.astype(jnp.int32),
+            win_m.astype(jnp.int32),
+            win_ori.astype(jnp.int32),
+            win_stage.astype(jnp.int32),
+            win_node.astype(jnp.int32),
+            win_off.astype(jnp.int32),
+            clip_s.astype(jnp.int32),
+            clip_e.astype(jnp.int32),
+        ],
+        axis=1,
     )
+    return jnp.concatenate([scalars, win_ids.astype(jnp.int32)], axis=1)
 
 
 class DeviceAligner:
@@ -360,9 +365,13 @@ class DeviceAligner:
     def align_read_batch(
         self, graph: GrootGraph, items: List[Tuple[FastqRead, List, float]]
     ) -> List[Tuple[List[AlignmentRecord], int]]:
+        return self.collect(graph, self.submit(graph, items))
+
+    def submit(self, graph: GrootGraph, items):
+        """Phase 1: launch the cascade asynchronously (chunked to keep the
+        [R, Mx, Cn, Pb, J] / [R, Mx, Pb, S1] temporaries within budget).
+        Returns opaque handles; pass to collect()."""
         dg = self.graph_dev(graph)
-        # chunk the group so the [R, Mx, Cn, Pb, J] / [R, Mx, Pb, S1]
-        # temporaries stay within budget
         Mx = max(len(it[1]) for it in items)
         Cn = max(
             (len(m.contained_nodes) for it in items for m in it[1]), default=1
@@ -371,20 +380,26 @@ class DeviceAligner:
             (int(m.merge_span + m.window_size) for it in items for m in it[1]),
             default=1,
         )
-        per_read = (
-            4 * max(1, Mx) * dg.Pb * max(s1, Cn * (NODE_SHUFFLES + 1))
-        )
+        per_read = 4 * max(1, Mx) * dg.Pb * max(s1, Cn * (NODE_SHUFFLES + 1))
         max_r = max(1, min(self.MEM_BUDGET // max(per_read, 1), self.R_BUCKETS[-1]))
-        if len(items) > max_r:
-            out: List[Tuple[List[AlignmentRecord], int]] = []
-            for i in range(0, len(items), max_r):
-                out.extend(self._align_chunk(graph, dg, items[i : i + max_r]))
-            return out
-        return self._align_chunk(graph, dg, items)
+        handles = []
+        for i in range(0, len(items), max_r):
+            chunk = items[i : i + max_r]
+            handles.append((chunk, self._submit_chunk(dg, chunk)))
+        return (dg, handles)
 
-    def _align_chunk(
-        self, graph, dg: _DeviceGraph, items: List[Tuple[FastqRead, List, float]]
-    ) -> List[Tuple[List[AlignmentRecord], int]]:
+    def collect(self, graph: GrootGraph, submitted):
+        """Phase 2: fetch results (one D2H per chunk), replay weighting and
+        build records."""
+        dg, handles = submitted
+        out: List[Tuple[List[AlignmentRecord], int]] = []
+        for chunk, dev_out in handles:
+            out.extend(self._collect_chunk(graph, dg, chunk, dev_out))
+        return out
+
+    def _submit_chunk(
+        self, dg: _DeviceGraph, items: List[Tuple[FastqRead, List, float]]
+    ):
         R = len(items)
         Rb = _bucket(R, self.R_BUCKETS)
         Lr_max = max(len(it[0].seq) for it in items)
@@ -422,7 +437,7 @@ class DeviceAligner:
                 for c, nid in enumerate(sorted(mapping.contained_nodes)[:Cn]):
                     contained_idx[r, m, c] = dg.node_rank[nid]
 
-        out = _device_cascade(
+        return _device_cascade(
             dg.codes,
             dg.node_pos,
             dg.node_len,
@@ -437,8 +452,19 @@ class DeviceAligner:
             jnp.asarray(contained_idx),
             S1,
         )
-        (found, win_m, win_ori, win_stage, win_node, win_off, clip_s, clip_e,
-         win_ids) = (np.asarray(o) for o in out)
+
+    def _collect_chunk(
+        self, graph, dg: _DeviceGraph, items, dev_out
+    ) -> List[Tuple[List[AlignmentRecord], int]]:
+        packed = np.asarray(dev_out)  # single D2H fetch per chunk
+        found = packed[:, 0].astype(bool)
+        win_m = packed[:, 1]
+        win_ori = packed[:, 2]
+        win_node = packed[:, 4]
+        win_off = packed[:, 5]
+        clip_s = packed[:, 6]
+        clip_e = packed[:, 7]
+        win_ids = packed[:, 8:]
 
         results: List[Tuple[List[AlignmentRecord], int]] = []
         gp = dg.gp

@@ -116,6 +116,13 @@ def build_parser() -> argparse.ArgumentParser:
     h.add_argument("-o", "--out", default="groot-haplotypes")
     add_globals(h)
 
+    acc = sub.add_parser(
+        "accuracy", help="evaluate a BAM of simulated reads (bbmap-style names)"
+    )
+    acc.add_argument("--bamFile", required=True)
+    acc.add_argument("--numReads", type=int, required=True)
+    add_globals(acc)
+
     v = sub.add_parser("version", help="print the version")
     add_globals(v)
     e = sub.add_parser("iamgroot", help="I AM GROOT!")
@@ -302,12 +309,21 @@ def cmd_haplotype(args) -> int:
     return 0
 
 
+def cmd_accuracy(args) -> int:
+    from .report.accuracy import evaluate_bam
+
+    stats = evaluate_bam(args.bamFile, args.numReads)
+    sys.stdout.write(stats.format())
+    return 0
+
+
 COMMANDS = {
     "get": cmd_get,
     "index": cmd_index,
     "align": cmd_align,
     "report": cmd_report,
     "haplotype": cmd_haplotype,
+    "accuracy": cmd_accuracy,
 }
 
 IAMGROOT = r"""

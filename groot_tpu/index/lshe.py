@@ -175,7 +175,7 @@ class ContainmentIndex:
         B = int(sketch_hi.shape[0])
         K = self.optimal_k(int(np.min(query_sizes)) if B else 1, threshold)
         t = self._tables[K]
-        win_idx, contain = _query_device(
+        win_idx = _query_device(
             sketch_hi,
             sketch_lo,
             jnp.asarray(t["sorted_sigs"]),
@@ -188,7 +188,6 @@ class ContainmentIndex:
             threshold,
         )
         win_idx = np.asarray(win_idx)
-        contain = np.asarray(contain)
         out: List[Dict[int, List[Key]]] = []
         for b in range(B):
             hits: Dict[int, List[Key]] = {}
@@ -315,4 +314,4 @@ def _query_device(
     qs = query_sizes[:, None].astype(jnp.float32)
     contain = j * (qs + domain_size) / ((1.0 + j) * qs)
     keep = (cands >= 0) & (contain > threshold)
-    return jnp.where(keep, cands, -1), jnp.where(keep, contain, 0.0)
+    return jnp.where(keep, cands, -1)

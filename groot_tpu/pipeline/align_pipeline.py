@@ -162,19 +162,38 @@ def _process_batch(info, batch, aligner, bam_writer, stats, k, s, t):
                 (read, mappings, float(kc))
             )
 
-    for graph_id, items in per_graph.items():
-        graph = info.store[graph_id]
-        if info.sketch.no_exact_align:
-            # weight every mapping (graphminion.go:64-72, alignment skipped)
+    if info.sketch.no_exact_align:
+        # weight every mapping (graphminion.go:64-72, alignment skipped)
+        for graph_id, items in per_graph.items():
+            graph = info.store[graph_id]
             for _read, mappings, kc in items:
                 for mapping in mappings:
                     graph.increment_subpath(mapping.contained_nodes, kc)
-        else:
-            for records, _n in aligner.align_read_batch(graph, items):
-                stats.alignment_count += len(records)
-                if bam_writer is not None:
-                    for rec in records:
-                        bam_writer.write(rec)
+        return
+
+    # two-phase: launch every graph's cascade asynchronously, then collect —
+    # device compute for graph g+1 overlaps the host work for graph g
+    submitted = []
+    can_submit = hasattr(aligner, "submit")
+    if can_submit:
+        for graph_id, items in per_graph.items():
+            graph = info.store[graph_id]
+            submitted.append((graph, items, aligner.submit(graph, items)))
+    else:
+        submitted = [
+            (info.store[gid], items, None) for gid, items in per_graph.items()
+        ]
+    for graph, items, handle in submitted:
+        results = (
+            aligner.collect(graph, handle)
+            if handle is not None
+            else aligner.align_read_batch(graph, items)
+        )
+        for records, _n in results:
+            stats.alignment_count += len(records)
+            if bam_writer is not None:
+                for rec in records:
+                    bam_writer.write(rec)
 
 
 def prune_graphs(info: Info, min_kmer_coverage: float) -> List[str]:
