@@ -115,16 +115,26 @@ class BgzfWriter:
     def __init__(self, fh):
         self.fh = fh
         self.buf = bytearray()
+        from . import native
+
+        self._native = native.bgzf_block if native.available() else None
+
+    def _block(self, data: bytes) -> bytes:
+        if self._native is not None:
+            out = self._native(data)
+            if out is not None:
+                return out
+        return _bgzf_block(data)
 
     def write(self, data: bytes):
         self.buf += data
         while len(self.buf) >= 0xFF00:
-            self.fh.write(_bgzf_block(bytes(self.buf[:0xFF00])))
+            self.fh.write(self._block(bytes(self.buf[:0xFF00])))
             del self.buf[:0xFF00]
 
     def close(self):
         if self.buf:
-            self.fh.write(_bgzf_block(bytes(self.buf)))
+            self.fh.write(self._block(bytes(self.buf)))
             self.buf = bytearray()
         self.fh.write(BGZF_EOF)
         self.fh.flush()

@@ -1,0 +1,165 @@
+"""ctypes bindings for the native IO runtime (native/grootio.cpp).
+
+Builds the shared library on first use (g++ is in the image); every entry
+point has a pure-Python/NumPy fallback so the framework works without a
+compiler. `available()` reports which path is active."""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+log = logging.getLogger("groot")
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_PATH = os.path.abspath(os.path.join(_NATIVE_DIR, "libgrootio.so"))
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+_LONG = ctypes.c_long
+_LP = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
+_U8P = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-s", "-C", os.path.abspath(_NATIVE_DIR)],
+            check=True,
+            capture_output=True,
+        )
+        return os.path.exists(_LIB_PATH)
+    except Exception as e:  # pragma: no cover
+        log.debug("native build failed: %s", e)
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH) and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.gio_parse_fastq.restype = _LONG
+        lib.gio_parse_fastq.argtypes = [
+            ctypes.c_char_p, _LONG, _LONG, _LP, _LP, _LP, _LP, _LP, _LP,
+            ctypes.POINTER(_LONG),
+        ]
+        lib.gio_encode.restype = None
+        lib.gio_encode.argtypes = [ctypes.c_char_p, _LP, _LP, _LONG, _LONG, _U8P]
+        lib.gio_bgzf_block.restype = _LONG
+        lib.gio_bgzf_block.argtypes = [
+            ctypes.c_char_p, _LONG, _U8P, _LONG,
+        ]
+        _lib = lib
+    except OSError as e:  # pragma: no cover
+        log.debug("native load failed: %s", e)
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def parse_fastq_buffer(
+    buf: bytes, max_reads: int = 1 << 30
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]:
+    """Parse a FASTQ byte buffer -> (id_off, id_len, seq_off, seq_len,
+    qual_off, qual_len, consumed). Uses the native scanner when available."""
+    lib = _load()
+    if lib is not None:
+        cap = min(max_reads, max(len(buf) // 8, 16))
+        id_off = np.empty(cap, np.int64)
+        id_len = np.empty(cap, np.int64)
+        seq_off = np.empty(cap, np.int64)
+        seq_len = np.empty(cap, np.int64)
+        qual_off = np.empty(cap, np.int64)
+        qual_len = np.empty(cap, np.int64)
+        consumed = _LONG(0)
+        n = lib.gio_parse_fastq(
+            buf, len(buf), cap, id_off, id_len, seq_off, seq_len, qual_off,
+            qual_len, ctypes.byref(consumed),
+        )
+        if n < 0:
+            raise ValueError("read ID in fastq file does not begin with @")
+        return (
+            id_off[:n], id_len[:n], seq_off[:n], seq_len[:n],
+            qual_off[:n], qual_len[:n], int(consumed.value),
+        )
+    # numpy fallback
+    return _parse_fastq_np(buf, max_reads)
+
+
+def _parse_fastq_np(buf: bytes, max_reads: int):
+    arr = np.frombuffer(buf, np.uint8)
+    nl = np.flatnonzero(arr == 10)
+    n_lines = len(nl) // 4 * 4
+    n = min(n_lines // 4, max_reads)
+    if n == 0:
+        return (np.empty(0, np.int64),) * 6 + (0,)
+    starts = np.concatenate([[0], nl[: 4 * n - 1] + 1]).reshape(n, 4)
+    ends = nl[: 4 * n].reshape(n, 4).copy()
+    # trim \r
+    for c in range(4):
+        cr = arr[np.clip(ends[:, c] - 1, 0, None)] == 13
+        ends[:, c] -= cr.astype(np.int64)
+    if (arr[starts[:, 0]] != ord("@")).any():
+        raise ValueError("read ID in fastq file does not begin with @")
+    consumed = int(nl[4 * n - 1] + 1)
+    return (
+        starts[:, 0].astype(np.int64),
+        (ends[:, 0] - starts[:, 0]).astype(np.int64),
+        starts[:, 1].astype(np.int64),
+        (ends[:, 1] - starts[:, 1]).astype(np.int64),
+        starts[:, 3].astype(np.int64),
+        (ends[:, 3] - starts[:, 3]).astype(np.int64),
+        consumed,
+    )
+
+
+def encode_batch(
+    buf: bytes, seq_off: np.ndarray, seq_len: np.ndarray, stride: int
+) -> np.ndarray:
+    """Encode sequences into a padded uint8 code matrix [n, stride]."""
+    n = len(seq_off)
+    out = np.empty((n, stride), np.uint8)
+    lib = _load()
+    if lib is not None:
+        lib.gio_encode(
+            buf,
+            np.ascontiguousarray(seq_off, np.int64),
+            np.ascontiguousarray(seq_len, np.int64),
+            n,
+            stride,
+            out,
+        )
+        return out
+    from ..ops.nthash import ASCII_TO_CODE
+
+    out.fill(4)
+    arr = np.frombuffer(buf, np.uint8)
+    for r in range(n):
+        ln = min(int(seq_len[r]), stride)
+        o = int(seq_off[r])
+        out[r, :ln] = ASCII_TO_CODE[arr[o : o + ln]]
+    return out
+
+
+def bgzf_block(data: bytes) -> Optional[bytes]:
+    """Native BGZF block compression, or None to use the Python path."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty(len(data) + 1024, np.uint8)
+    n = lib.gio_bgzf_block(data, len(data), out, len(out))
+    if n < 0:
+        return None
+    return out[:n].tobytes()

@@ -34,11 +34,31 @@ log = logging.getLogger("groot")
 DEFAULT_BATCH = 2048
 
 
-@dataclass
 class ReadBatch:
-    reads: List[FastqRead]
-    codes: np.ndarray    # u8 [B, L]
-    lengths: np.ndarray  # i32 [B]
+    """A padded uint8 code batch; FastqRead records materialise lazily (only
+    mapped reads ever need their id/qual bytes)."""
+
+    def __init__(self, codes, lengths, reads=None, buf=None, offsets=None):
+        self.codes = codes      # u8 [B, L]
+        self.lengths = lengths  # i32 [B]
+        self._reads = reads
+        self._buf = buf
+        self._offsets = offsets  # (id_off, id_len, seq_off, seq_len, q_off, q_len)
+
+    @property
+    def n(self) -> int:
+        return self.codes.shape[0]
+
+    def read(self, i: int) -> FastqRead:
+        if self._reads is not None:
+            return self._reads[i]
+        io_, il, so, sl, qo, ql = self._offsets
+        b = self._buf
+        return FastqRead(
+            id=b[io_[i] : io_[i] + il[i]],
+            seq=b[so[i] : so[i] + sl[i]],
+            qual=b[qo[i] : qo[i] + ql[i]],
+        )
 
 
 def batch_reads(
@@ -63,7 +83,50 @@ def _make_batch(reads: List[FastqRead]) -> ReadBatch:
         codes[i, : lengths[i]] = nthash.ASCII_TO_CODE[
             np.frombuffer(r.seq, dtype=np.uint8)
         ]
-    return ReadBatch(reads=reads, codes=codes, lengths=lengths)
+    return ReadBatch(codes=codes, lengths=lengths, reads=reads)
+
+
+def batch_reads_native(
+    paths: List[str], batch_size: int = DEFAULT_BATCH
+) -> Iterator[ReadBatch]:
+    """Chunked FASTQ ingest through the native scanner (io.native): file ->
+    record offsets -> padded code matrix, no per-read Python objects."""
+    import gzip
+
+    from ..io import native
+
+    chunk_bytes = max(batch_size * 512, 1 << 20)
+    for path in paths:
+        opener = gzip.open if path.endswith(".gz") else open
+        with opener(path, "rb") as fh:
+            leftover = b""
+            while True:
+                chunk = fh.read(chunk_bytes)
+                if not chunk and not leftover:
+                    break
+                buf = leftover + chunk
+                io_, il, so, sl, qo, ql, consumed = native.parse_fastq_buffer(buf)
+                if len(io_) == 0:
+                    if not chunk:
+                        break  # trailing garbage / partial record
+                    leftover = buf
+                    continue
+                leftover = buf[consumed:]
+                for i in range(0, len(io_), batch_size):
+                    j = min(i + batch_size, len(io_))
+                    sl_b = sl[i:j]
+                    L = int(math.ceil(max(int(sl_b.max()), 32) / 32) * 32)
+                    codes = native.encode_batch(buf, so[i:j], sl_b, L)
+                    yield ReadBatch(
+                        codes=codes,
+                        lengths=sl_b.astype(np.int32),
+                        buf=buf,
+                        offsets=(
+                            io_[i:j], il[i:j], so[i:j], sl_b, qo[i:j], ql[i:j]
+                        ),
+                    )
+                if not chunk:
+                    break
 
 
 @dataclass
@@ -100,12 +163,24 @@ def run_align(
 
             aligner = DeviceAligner(info.store, references)
 
+    # fast path: plain/gzip FASTQ files through the native scanner; FASTA or
+    # STDIN fall back to the Python streamer
+    use_native = (
+        fastq
+        and not info.sketch.fasta
+        and all(not f.endswith((".fasta", ".fa", ".fna")) for f in fastq)
+    )
+    if use_native:
+        batches = batch_reads_native(fastq, batch_size)
+    else:
+        batches = batch_reads(
+            stream_fastq(fastq, fasta=info.sketch.fasta), batch_size
+        )
+
     raw_count = 0
     length_total = 0
-    for batch in batch_reads(
-        stream_fastq(fastq, fasta=info.sketch.fasta), batch_size
-    ):
-        raw_count += len(batch.reads)
+    for batch in batches:
+        raw_count += batch.n
         length_total += int(batch.lengths.sum())
         _process_batch(info, batch, aligner, bam_writer, stats, k, s, t)
 
@@ -148,18 +223,20 @@ def _process_batch(info, batch, aligner, bam_writer, stats, k, s, t):
     results = info.db.query_batch(np.asarray(hi), np.asarray(lo), kmer_counts, t)
 
     # group seeded reads per graph (the per-graph minion queues of
-    # boss.go:122-131 become a batch dimension)
+    # boss.go:122-131 become a batch dimension); unmapped reads never
+    # materialise FastqRead objects
     per_graph: Dict[int, List] = {}
-    for read, res, kc in zip(batch.reads, results, kmer_counts):
+    for i, res in enumerate(results):
         stats.received += 1
         if not res:
             continue
         stats.mapped += 1
         if len(res) > 1:
             stats.multimapped += 1
+        read = batch.read(i)
         for graph_id, mappings in res.items():
             per_graph.setdefault(graph_id, []).append(
-                (read, mappings, float(kc))
+                (read, mappings, float(kmer_counts[i]))
             )
 
     if info.sketch.no_exact_align:

@@ -1,0 +1,155 @@
+// grootio: native host-IO runtime for groot_tpu.
+//
+// The reference's data loader is compiled Go (bufio scanners feeding
+// channels, /root/reference/src/pipeline/sketch.go:41-238). Python-level
+// line loops cap ingest well below TPU align throughput, so the hot host
+// paths live here:
+//
+//   gio_parse_fastq  - scan a FASTQ buffer into per-record offsets
+//   gio_encode       - 2-bit-class encode sequences into a padded uint8
+//                      code matrix (A=0 C=1 G=2 T=3, everything else N=4),
+//                      the device's expected layout
+//   gio_bgzf_block   - deflate one BGZF block (BAM output)
+//   gio_revcomp      - reverse-complement in the code alphabet
+//
+// Exposed as a C ABI consumed via ctypes (groot_tpu/io/native.py); built by
+// native/Makefile (g++ -O3 -shared -fPIC, links zlib).
+
+#include <cstdint>
+#include <cstring>
+#include <zlib.h>
+
+extern "C" {
+
+// ASCII -> code table (A=0 C=1 G=2 T=3, other=4), upper+lower case.
+static uint8_t CODE[256];
+static bool code_init = false;
+static void init_code() {
+    if (code_init) return;
+    memset(CODE, 4, sizeof(CODE));
+    CODE[(unsigned char)'A'] = 0; CODE[(unsigned char)'a'] = 0;
+    CODE[(unsigned char)'C'] = 1; CODE[(unsigned char)'c'] = 1;
+    CODE[(unsigned char)'G'] = 2; CODE[(unsigned char)'g'] = 2;
+    CODE[(unsigned char)'T'] = 3; CODE[(unsigned char)'t'] = 3;
+    code_init = true;
+}
+
+// Parse up to max_reads FASTQ records from buf[0..n). Records must be
+// 4-line (no wrapping), matching the reference's FastqHandler
+// (sketch.go:216-236). Returns the number of complete records parsed and
+// sets *consumed to the byte offset after the last complete record.
+// id/seq/qual arrays receive (offset, length) pairs per record; the id
+// INCLUDES the leading '@'. Returns -1 on malformed input (ID line not
+// starting with '@').
+long gio_parse_fastq(const char* buf, long n, long max_reads,
+                     long* id_off, long* id_len,
+                     long* seq_off, long* seq_len,
+                     long* qual_off, long* qual_len,
+                     long* consumed) {
+    long count = 0;
+    long pos = 0;
+    *consumed = 0;
+    while (count < max_reads) {
+        // line 1: id
+        if (pos >= n) break;
+        long l1 = pos;
+        const char* nl = (const char*)memchr(buf + pos, '\n', n - pos);
+        if (!nl) break;
+        long l1e = nl - buf;
+        pos = l1e + 1;
+        // line 2: seq
+        long l2 = pos;
+        nl = (const char*)memchr(buf + pos, '\n', n - pos);
+        if (!nl) break;
+        long l2e = nl - buf;
+        pos = l2e + 1;
+        // line 3: plus
+        nl = (const char*)memchr(buf + pos, '\n', n - pos);
+        if (!nl) break;
+        pos = (nl - buf) + 1;
+        // line 4: qual
+        long l4 = pos;
+        nl = (const char*)memchr(buf + pos, '\n', n - pos);
+        if (!nl) break;
+        long l4e = nl - buf;
+        pos = l4e + 1;
+
+        if (buf[l1] != '@') return -1;
+        // trim \r
+        if (l1e > l1 && buf[l1e - 1] == '\r') l1e--;
+        if (l2e > l2 && buf[l2e - 1] == '\r') l2e--;
+        if (l4e > l4 && buf[l4e - 1] == '\r') l4e--;
+        id_off[count] = l1; id_len[count] = l1e - l1;
+        seq_off[count] = l2; seq_len[count] = l2e - l2;
+        qual_off[count] = l4; qual_len[count] = l4e - l4;
+        count++;
+        *consumed = pos;
+    }
+    return count;
+}
+
+// Encode n_reads sequences (offsets into buf) into out[n_reads][stride]
+// (pre-filled by caller or padded here with 4).
+void gio_encode(const char* buf, const long* seq_off, const long* seq_len,
+                long n_reads, long stride, uint8_t* out) {
+    init_code();
+    for (long r = 0; r < n_reads; r++) {
+        const char* s = buf + seq_off[r];
+        long len = seq_len[r];
+        if (len > stride) len = stride;
+        uint8_t* row = out + r * stride;
+        long i = 0;
+        for (; i < len; i++) row[i] = CODE[(unsigned char)s[i]];
+        for (; i < stride; i++) row[i] = 4;
+    }
+}
+
+// Reverse-complement a code-alphabet row in place.
+void gio_revcomp(uint8_t* codes, long len) {
+    static const uint8_t RC[5] = {3, 2, 1, 0, 4};
+    for (long i = 0, j = len - 1; i < j; i++, j--) {
+        uint8_t a = codes[i], b = codes[j];
+        codes[i] = RC[b];
+        codes[j] = RC[a];
+    }
+    if (len & 1) codes[len / 2] = RC[codes[len / 2]];
+}
+
+// Compress one BGZF block (<= 65280 input bytes). Returns the full block
+// size written to out (header + deflate + crc/isize footer), or -1.
+long gio_bgzf_block(const uint8_t* data, long n, uint8_t* out, long out_cap) {
+    if (n > 65280) return -1;
+    z_stream zs;
+    memset(&zs, 0, sizeof(zs));
+    if (deflateInit2(&zs, 6, Z_DEFLATED, -15, 8, Z_DEFAULT_STRATEGY) != Z_OK)
+        return -1;
+    // header: 18 bytes with BC extra subfield
+    uint8_t* hdr = out;
+    const uint8_t fixed[16] = {0x1f, 0x8b, 0x08, 0x04, 0, 0, 0, 0,
+                               0, 0xff, 6, 0, 0x42, 0x43, 2, 0};
+    memcpy(hdr, fixed, 16);
+    zs.next_in = (Bytef*)data;
+    zs.avail_in = (uInt)n;
+    zs.next_out = out + 18;
+    zs.avail_out = (uInt)(out_cap - 18 - 8);
+    if (deflate(&zs, Z_FINISH) != Z_STREAM_END) {
+        deflateEnd(&zs);
+        return -1;
+    }
+    long comp = (long)zs.total_out;
+    deflateEnd(&zs);
+    long bsize = comp + 18 + 8;
+    out[16] = (uint8_t)((bsize - 1) & 0xff);
+    out[17] = (uint8_t)(((bsize - 1) >> 8) & 0xff);
+    uint32_t crc = crc32(0L, Z_NULL, 0);
+    crc = crc32(crc, data, (uInt)n);
+    uint8_t* foot = out + 18 + comp;
+    foot[0] = crc & 0xff; foot[1] = (crc >> 8) & 0xff;
+    foot[2] = (crc >> 16) & 0xff; foot[3] = (crc >> 24) & 0xff;
+    uint32_t isize = (uint32_t)n;
+    foot[4] = isize & 0xff; foot[5] = (isize >> 8) & 0xff;
+    foot[6] = (isize >> 16) & 0xff; foot[7] = (isize >> 24) & 0xff;
+    return bsize;
+}
+
+}  // extern "C"
