@@ -345,9 +345,12 @@ def _device_cascade(
 class DeviceAligner:
     """Drop-in alternative to GraphAligner with the cascade on device."""
 
-    R_BUCKETS = (1, 4, 16, 64, 256)
-    M_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
-    C_BUCKETS = (4, 8, 16, 32, 64)
+    # coarse buckets: every static dim combination is one XLA compile, and
+    # remote (tunnelled) compiles cost tens of seconds each
+    R_BUCKETS = (16, 128)
+    M_BUCKETS = (4, 16, 64)
+    C_BUCKETS = (16, 64, 160)
+    S_BUCKETS = (256, 1024, 4096)
 
     def __init__(self, store: Dict[int, GrootGraph], references=None):
         self.store = store
@@ -381,7 +384,11 @@ class DeviceAligner:
             default=1,
         )
         per_read = 4 * max(1, Mx) * dg.Pb * max(s1, Cn * (NODE_SHUFFLES + 1))
-        max_r = max(1, min(self.MEM_BUDGET // max(per_read, 1), self.R_BUCKETS[-1]))
+        # chunk to the largest R bucket whose PADDED size fits the budget
+        max_r = self.R_BUCKETS[0]
+        for b in self.R_BUCKETS:
+            if b * per_read <= self.MEM_BUDGET:
+                max_r = b
         handles = []
         for i in range(0, len(items), max_r):
             chunk = items[i : i + max_r]
@@ -416,7 +423,7 @@ class DeviceAligner:
             (int(m.merge_span + m.window_size) for it in items for m in it[1]),
             default=1,
         )
-        S1 = -(-s1_need // 128) * 128
+        S1 = _bucket(s1_need, self.S_BUCKETS)
 
         read_codes = np.full((Rb, Lr), 4, dtype=np.uint8)
         read_len = np.zeros(Rb, dtype=np.int32)

@@ -179,10 +179,18 @@ def run_align(
 
     raw_count = 0
     length_total = 0
+    import time as _time
+
+    t_start = _time.time()
     for batch in batches:
         raw_count += batch.n
         length_total += int(batch.lengths.sum())
         _process_batch(info, batch, aligner, bam_writer, stats, k, s, t)
+        log.info(
+            "\tprocessed %d reads (%.0f reads/s)",
+            raw_count,
+            raw_count / max(_time.time() - t_start, 1e-9),
+        )
 
     if raw_count == 0:
         raise ValueError("no fastq reads received")
