@@ -295,23 +295,29 @@ def _device_cascade(
             jnp.where(use0[..., None], ids0, ids1),
         )
 
-    # vmap over mappings then reads
-    vm = jax.vmap(
-        per_read_mapping,
-        in_axes=(None, None, None, None, 0, 0, 0, 0, 0),
-    )
-    vr = jax.vmap(vm, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0))
-    found, ori, stage, node, off, ids = vr(
-        M,
-        eff_full,
-        eff_clip,
-        read_len,
-        map_valid,
-        seed_idx,
-        seed_offset,
-        span_limit,
-        contained_idx,
-    )  # each [R, Mx] (+ ids [R, Mx, Pb])
+    # sequential over mappings (lax.map keeps memory at one mapping-slice),
+    # vmapped over reads within each step
+    vm = jax.vmap(per_read_mapping)
+
+    def one_mapping(args):
+        valid_m, s_idx, s_off, s_lim, c_idx = args  # each [R, ...]
+        return vm(
+            M, eff_full, eff_clip, read_len, valid_m, s_idx, s_off, s_lim, c_idx
+        )
+
+    stacked = jax.lax.map(
+        one_mapping,
+        (
+            map_valid.T,
+            seed_idx.T,
+            seed_offset.T,
+            span_limit.T,
+            contained_idx.transpose(1, 0, 2),
+        ),
+    )  # each [Mx, R] (+ ids [Mx, R, Pb])
+    found, ori, stage, node, off, ids = (
+        jnp.moveaxis(a, 0, 1) for a in stacked
+    )  # -> [R, Mx] (+ ids [R, Mx, Pb])
 
     # first successful mapping wins (mappings are pre-sorted by node/offset)
     win_m = jnp.argmax(found, axis=1)  # [R]
@@ -383,7 +389,9 @@ class DeviceAligner:
             (int(m.merge_span + m.window_size) for it in items for m in it[1]),
             default=1,
         )
-        per_read = 4 * max(1, Mx) * dg.Pb * max(s1, Cn * (NODE_SHUFFLES + 1))
+        # lax.map over mappings bounds the temporaries to one mapping slice:
+        # [R, Pb, max(S1, Cn*11)] i32 per step
+        per_read = 4 * dg.Pb * max(s1, Cn * (NODE_SHUFFLES + 1))
         # chunk to the largest R bucket whose PADDED size fits the budget
         max_r = self.R_BUCKETS[0]
         for b in self.R_BUCKETS:
