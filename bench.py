@@ -60,6 +60,14 @@ def ensure_index() -> str:
 
 
 def main() -> int:
+    import logging
+
+    logging.basicConfig(
+        level=logging.INFO,
+        format="# %(asctime)s %(message)s",
+        stream=sys.stderr,
+        force=True,
+    )
     ap = argparse.ArgumentParser()
     ap.add_argument("--noAlign", action="store_true", help="seed+weight only")
     ap.add_argument("--batchSize", type=int, default=4096)

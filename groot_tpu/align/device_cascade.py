@@ -369,7 +369,7 @@ class DeviceAligner:
             self._graphs[graph.graph_id] = dg
         return dg
 
-    MEM_BUDGET = 256 * 1024 * 1024  # bytes for the biggest cascade temporary
+    MEM_BUDGET = 512 * 1024 * 1024  # bytes for the biggest cascade temporary
 
     def align_read_batch(
         self, graph: GrootGraph, items: List[Tuple[FastqRead, List, float]]
@@ -389,9 +389,13 @@ class DeviceAligner:
             (int(m.merge_span + m.window_size) for it in items for m in it[1]),
             default=1,
         )
-        # lax.map over mappings bounds the temporaries to one mapping slice:
-        # [R, Pb, max(S1, Cn*11)] i32 per step
-        per_read = 4 * dg.Pb * max(s1, Cn * (NODE_SHUFFLES + 1))
+        # per-read HBM: the conv output (f32 counts [Pb, W, 6] + bool match
+        # volume) dominates; the lax.map probe slice adds
+        # [Pb, max(S1, Cn*11)] i32
+        per_read = (
+            dg.Pb * dg.Lb * 6 * 5  # counts f32 (4B) + M bool (1B)
+            + 4 * dg.Pb * max(s1, Cn * (NODE_SHUFFLES + 1))
+        )
         # chunk to the largest R bucket whose PADDED size fits the budget
         max_r = self.R_BUCKETS[0]
         for b in self.R_BUCKETS:
