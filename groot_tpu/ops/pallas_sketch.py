@@ -1,0 +1,236 @@
+"""Fused Pallas read-sketching kernel (hot loop #2).
+
+Computes KHF MinHash sketches of a read batch in one VMEM-resident pass:
+
+  codes u8 [B, L] -> (hi, lo) uint32 [B, s]
+
+fusing canonical ntHash (prefix-XOR scan + rotates), the per-slot multihash
+(u64 multiply + xorshift) and the min-reduction, so the [B, nk, s] multihash
+tensor never exists in HBM (the XLA path in ops.nthash materialises ~80MB per
+4k-read batch; this kernel's working set is one [TB, L] tile).
+
+TPU mapping notes (see /opt/skills/guides/pallas_guide.md):
+  * 64-bit values are (hi, lo) uint32 pairs (no x64 on TPU);
+  * the seed lookup is 5 where-selects against host-precomputed
+    position-rotated seed tables (rortab[m] = ror(seed[base], m mod 64)),
+    avoiding in-kernel gathers;
+  * the prefix-XOR scan is Hillis-Steele over lanes via pltpu.roll + mask;
+  * lane-dependent 64-bit rotates decompose into 6 staged constant-distance
+    rotates selected by the bits of the rotate amount;
+  * everything runs on the VPU over [TB, L] tiles; grid = B / TB.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import nthash, u64
+
+TB = 8  # reads per grid step (sublane tile)
+
+
+def _rortabs(L: int):
+    """Host-precomputed position-rotated seed tables, uint32 pairs [L, 5]."""
+    m = np.arange(L, dtype=np.uint64) % np.uint64(64)
+    with np.errstate(over="ignore"):
+        def ror(x, r):
+            return np.where(
+                r == 0, x, (x >> r) | (x << (np.uint64(64) - r))
+            ).astype(np.uint64)
+
+        def rol(x, r):
+            return np.where(
+                r == 0, x, (x << r) | (x >> (np.uint64(64) - r))
+            ).astype(np.uint64)
+
+        fwd = ror(nthash.SEEDS_NP[None, :], m[:, None])      # t[m] tables
+        rev = rol(nthash.SEEDS_RC_NP[None, :], m[:, None])   # u[m] tables
+    split = lambda a: (
+        (a >> np.uint64(32)).astype(np.uint32),
+        (a & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+    )
+    return split(fwd), split(rev)
+
+
+def _sel_seed(codes, tab_hi, tab_lo):
+    """t[b, m] = tab[m, codes[b, m]] via 5 selects (no gathers)."""
+    hi = jnp.zeros_like(codes, dtype=jnp.uint32)
+    lo = jnp.zeros_like(codes, dtype=jnp.uint32)
+    for c in range(5):
+        is_c = codes == c
+        hi = jnp.where(is_c, tab_hi[None, :, c], hi)
+        lo = jnp.where(is_c, tab_lo[None, :, c], lo)
+    return hi, lo
+
+
+def _shift_lanes(x, dist: int):
+    """Shift lanes right by dist along axis 1, filling with zeros."""
+    L = x.shape[1]
+    rolled = pltpu.roll(x, dist, axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.where(lane >= dist, rolled, jnp.uint32(0))
+
+
+def _prefix_xor(pair, L: int):
+    hi, lo = pair
+    d = 1
+    while d < L:
+        hi = hi ^ _shift_lanes(hi, d)
+        lo = lo ^ _shift_lanes(lo, d)
+        d *= 2
+    return hi, lo
+
+
+def _rol_const(pair, r: int):
+    """Constant-distance 64-bit rotate left of a uint32 pair."""
+    r %= 64
+    hi, lo = pair
+    if r == 0:
+        return pair
+    if r == 32:
+        return (lo, hi)
+    if r > 32:
+        hi, lo = lo, hi
+        r -= 32
+    return (
+        (hi << np.uint32(r)) | (lo >> np.uint32(32 - r)),
+        (lo << np.uint32(r)) | (hi >> np.uint32(32 - r)),
+    )
+
+
+def _rol_by_lane(pair, amount):
+    """Rotate left by a per-element amount via 6 staged constant rotates."""
+    out = pair
+    for bit in range(6):
+        dist = 1 << bit
+        rolled = _rol_const(out, dist)
+        take = (amount & np.uint32(dist)) != 0
+        out = (
+            jnp.where(take, rolled[0], out[0]),
+            jnp.where(take, rolled[1], out[1]),
+        )
+    return out
+
+
+def _kernel(
+    codes_ref, vlen_ref, fhi_ref, flo_ref, rhi_ref, rlo_ref,
+    out_hi_ref, out_lo_ref, *, k: int, s: int, mults,
+):
+    codes = codes_ref[:].astype(jnp.int32)  # [TB, L]
+    L = codes.shape[1]
+    nk = L - k + 1
+    FULL = jnp.uint32(0xFFFFFFFF)
+
+    t = _sel_seed(codes, fhi_ref[:], flo_ref[:])
+    u_ = _sel_seed(codes, rhi_ref[:], rlo_ref[:])
+    X = _prefix_xor(t, L)
+    Y = _prefix_xor(u_, L)
+
+    # window xor over lanes: W[i] = X[i+k-1] ^ X[i-1] (lane i holds k-mer i)
+    def window(pair):
+        hi, lo = pair
+        # lane i <- X[i+k-1]; pltpu.roll requires non-negative shifts, so
+        # roll by L-(k-1) (mod-L equivalent of -(k-1))
+        whi = pltpu.roll(hi, L - (k - 1), axis=1)
+        wlo = pltpu.roll(lo, L - (k - 1), axis=1)
+        phi = _shift_lanes(hi, 1)                # lane i <- X[i-1]
+        plo = _shift_lanes(lo, 1)
+        return (whi ^ phi, wlo ^ plo)
+
+    wx = window(X)
+    wy = window(Y)
+    lane = jax.lax.broadcasted_iota(jnp.uint32, codes.shape, 1)
+    fwd = _rol_by_lane(wx, (lane + np.uint32(k - 1)) & np.uint32(63))
+    rev = _rol_by_lane(wy, (np.uint32(64) - (lane & np.uint32(63))) & np.uint32(63))
+    c = u64.minimum(fwd, rev)
+
+    # mask invalid k-mer lanes (ragged reads + the k-1 tail lanes)
+    nk_valid = jnp.maximum(vlen_ref[:] - np.int32(k - 1), 0)  # [TB, 1]
+    valid = lane.astype(jnp.int32) < nk_valid
+    c = (jnp.where(valid, c[0], FULL), jnp.where(valid, c[1], FULL))
+
+    # per-slot multihash + min-reduce, one slot at a time (VMEM-resident)
+    for slot in range(s):
+        if slot == 0:
+            h = c
+        else:
+            h = u64.mul(c, (jnp.uint32(mults[slot] >> 32),
+                            jnp.uint32(mults[slot] & 0xFFFFFFFF)))
+            h = u64.xor(h, u64.shr(h, nthash.MULTISHIFT))
+            h = (jnp.where(valid, h[0], FULL), jnp.where(valid, h[1], FULL))
+        mhi = jnp.min(h[0], axis=1)  # [TB]
+        big_lo = jnp.where(h[0] == mhi[:, None], h[1], FULL)
+        mlo = jnp.min(big_lo, axis=1)
+        out_hi_ref[:, slot] = mhi
+        out_lo_ref[:, slot] = mlo
+
+
+def sketch_reads(codes, valid_len, k: int, s: int):
+    """Batch sketching with automatic backend dispatch: the fused Pallas
+    kernel on TPU, the XLA scan path elsewhere. Pads B to the tile size and
+    L to the lane width as needed."""
+    import numpy as _np
+
+    on_tpu = jax.default_backend() not in ("cpu", "METAL")
+    if not on_tpu:
+        return nthash.khf_sketch(codes, k, s, valid_len=jnp.asarray(valid_len))
+    B, L = codes.shape
+    Bp = -(-B // TB) * TB
+    Lp = -(-L // 128) * 128
+    if (Bp, Lp) != (B, L):
+        padded = _np.full((Bp, Lp), 4, _np.uint8)
+        padded[:B, :L] = codes
+        vl = _np.zeros(Bp, _np.int32)
+        vl[:B] = valid_len
+        codes, valid_len = padded, vl
+    hi, lo = khf_sketch_pallas(jnp.asarray(codes), jnp.asarray(valid_len), k, s)
+    return hi[:B], lo[:B]
+
+
+@partial(jax.jit, static_argnames=("k", "s", "interpret"))
+def khf_sketch_pallas(codes, valid_len, k: int, s: int, interpret: bool = False):
+    """codes u8 [B, L], valid_len i32 [B] -> (hi, lo) uint32 [B, s]."""
+    B, L = codes.shape
+    assert B % TB == 0, "batch must be a multiple of the tile size"
+    (fhi, flo), (rhi, rlo) = _rortabs(L)
+    with np.errstate(over="ignore"):
+        kseed = np.uint64(np.uint64(k) * np.uint64(nthash.MULTISEED))
+        mults = tuple(int(np.uint64(i) ^ kseed) for i in range(s))
+
+    kernel = partial(_kernel, k=k, s=s, mults=mults)
+    grid = (B // TB,)
+    out_hi, out_lo = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TB, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 5), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 5), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 5), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 5), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((TB, s), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, s), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, s), jnp.uint32),
+            jax.ShapeDtypeStruct((B, s), jnp.uint32),
+        ),
+        interpret=interpret,
+    )(
+        codes,
+        valid_len.astype(jnp.int32)[:, None],
+        jnp.asarray(fhi),
+        jnp.asarray(flo),
+        jnp.asarray(rhi),
+        jnp.asarray(rlo),
+    )
+    return out_hi, out_lo

@@ -226,7 +226,9 @@ def _process_batch(info, batch, aligner, bam_writer, stats, k, s, t):
         raise ValueError(
             f"sequence length ({short}) is short than k-mer length ({k})"
         )
-    hi, lo = nthash.khf_sketch(batch.codes, k, s, valid_len=batch.lengths)
+    from ..ops.pallas_sketch import sketch_reads
+
+    hi, lo = sketch_reads(batch.codes, batch.lengths, k, s)
     kmer_counts = (batch.lengths - k + 1).astype(np.int32)
     results = info.db.query_batch(np.asarray(hi), np.asarray(lo), kmer_counts, t)
 
