@@ -46,13 +46,16 @@ class _DeviceGraph:
         self.gp = gp
         P = len(gp.path_ids)
         self.P = P
-        self.Pb = max(4, 1 << (P - 1).bit_length())
+        self.Pb = next((b for b in (16, 64, 256) if P <= b),
+                       -(-P // 256) * 256)
         codes = gp.packed.codes
         L = codes.shape[1]
         # trailing wildcard pad must cover the longest read so overhang
         # probes (dead-end partials, alignment.go:229) see match-anything
         self.max_read = 352
-        self.Lb = -(-(L + self.max_read) // 512) * 512
+        Lneed = L + self.max_read
+        self.Lb = next((b for b in (1024, 2048, 4096) if Lneed <= b),
+                       -(-Lneed // 1024) * 1024)
         padded = np.full((self.Pb, self.Lb), 4, dtype=np.uint8)
         padded[:P, :L] = codes
         self.codes = jnp.asarray(padded)
@@ -80,15 +83,6 @@ class _DeviceGraph:
         self.terminal_free = jnp.asarray(term)
 
 
-@dataclass
-class _Buckets:
-    Lr: int
-    R: int
-    Mx: int
-    Cn: int
-    S1: int
-
-
 def _bucket(x: int, mults: Tuple[int, ...]) -> int:
     for m in mults:
         if x <= m:
@@ -96,10 +90,7 @@ def _bucket(x: int, mults: Tuple[int, ...]) -> int:
     return mults[-1]
 
 
-@partial(
-    jax.jit,
-    static_argnames=("S1", "n_shuffles"),
-)
+@partial(jax.jit, static_argnames=("n_shuffles",))
 def _device_cascade(
     path_codes,      # u8 [Pb, Lb]
     node_pos,        # i32 [Nn+1, Pb]
@@ -113,7 +104,6 @@ def _device_cascade(
     seed_offset,     # i32 [R, Mx]
     span_limit,      # i32 [R, Mx] mergeSpan + windowSize
     contained_idx,   # i32 [R, Mx, Cn] node ranks (pad row when absent)
-    S1: int,
     n_shuffles: int = NODE_SHUFFLES,
 ):
     """Full cascade for one graph x read-group. Returns per read:
@@ -182,87 +172,84 @@ def _device_cascade(
     eff_full = read_len  # [R]
     eff_clip = read_len - 1
 
-    def probe(m_var, starts, o_node, nlen, eff_r):
-        """One probe: m_var [Pb, W] match row set for (read, variant);
-        starts [Pb] path start positions (-1 absent); o_node scalar in-node
-        offset; nlen node length; eff_r effective read length.
-        Returns ok [Pb] bool."""
-        valid = (
-            (starts >= 0)
-            & (o_node < nlen)
-            & (starts < path_len)
-        )
-        safe = jnp.clip(starts, 0, W - 1)
-        bit = jnp.take_along_axis(m_var, safe[:, None], axis=1)[:, 0]
-        over_ok = (starts + eff_r <= path_len) | terminal_free
-        return valid & bit & over_ok
+    # ---- bake the offset-dependent validity gates into the full-match
+    # volumes, then build NXT = first valid match offset >= w. Stage-1/2
+    # shuffle loops collapse to single NXT gathers: a path's winning shuffle
+    # from start position b is NXT[p, b] - b (its first valid match), and
+    # the per-stage shuffle bounds become simple comparisons.
+    offs = jnp.arange(W, dtype=jnp.int32)
 
-    def per_read_mapping(r_M, eff_f, eff_c, rlen, valid_m, s_idx, s_off, s_lim, c_idx):
-        """Cascade for ONE (read, mapping); r_M [6, Pb, W]."""
+    def gate_full(m_var, eff_r):  # [R, Pb, W], eff [R] -> gated bool
+        in_path = offs[None, None, :] < path_len[None, :, None]
+        over_ok = (
+            offs[None, None, :] + eff_r[:, None, None] <= path_len[None, :, None]
+        ) | terminal_free[None, :, None]
+        return m_var & in_path & over_ok
 
-        def per_ori(ori):
-            v_full = r_M[ori * 3 + 0]
-            v_cs = r_M[ori * 3 + 1]
-            v_ce = r_M[ori * 3 + 2]
-            seed_starts = node_pos[s_idx]  # [Pb]
-            seed_len = node_len[s_idx]
+    def nxt(m):  # gated [R, Pb, W] -> i32 [R, Pb, W]
+        v = jnp.where(m, offs[None, None, :], INF)
+        return jax.lax.associative_scan(jnp.minimum, v, axis=v.ndim - 1, reverse=True)
 
-            # stage 1: offset shuffles 0..span_limit
-            j = jnp.arange(S1)
-            starts1 = jnp.where(
-                seed_starts[:, None] >= 0, seed_starts[:, None] + s_off + j[None, :], -1
-            )
-            ok1 = (
-                (j[None, :] <= s_lim)
-                & (starts1 >= 0)
-                & (s_off + j[None, :] < seed_len)
-                & (starts1 < path_len[:, None])
-            )
-            safe1 = jnp.clip(starts1, 0, W - 1)
-            bits1 = jnp.take_along_axis(v_full, safe1, axis=1)
-            over1 = (starts1 + eff_f <= path_len[:, None]) | terminal_free[:, None]
-            ok1 = ok1 & bits1 & over1  # [Pb, S1]
-            any1 = ok1.any(axis=0)  # [S1]
-            j1 = jnp.argmax(any1)  # first winning shuffle
-            s1_found = any1.any()
-            ids1 = ok1[:, j1]
+    NXT = (
+        nxt(gate_full(M[:, 0], eff_full)),  # fwd full
+        nxt(gate_full(M[:, 3], eff_full)),  # rc full
+    )
 
-            # stage 2: contained-node shuffles 0..n_shuffles
+    def per_read_mapping(
+        nxt_f, nxt_r, m_cs_f, m_ce_f, m_cs_r, m_ce_r, eff_c, valid_m,
+        s_idx, s_off, s_lim, c_idx,
+    ):
+        """Cascade for ONE (read, mapping); nxt_* [Pb, W], m_* [Pb, W]."""
+        seed_starts = node_pos[s_idx]  # [Pb]
+        seed_len = node_len[s_idx]
+        base = seed_starts + s_off
+        base_safe = jnp.clip(base, 0, W - 1)
+        prow = jnp.arange(Pb)
+
+        def per_ori(nxt_v, m_cs, m_ce):
+            # stage 1: first valid match at/after base, bounded by the
+            # shuffle limit and the seed node length
+            first1 = nxt_v[prow, base_safe] - base  # [Pb]
+            bound1 = jnp.minimum(s_lim, seed_len - 1 - s_off)
+            ok1 = (seed_starts >= 0) & (first1 <= bound1)
+            j1 = jnp.min(jnp.where(ok1, first1, INF))
+            s1_found = j1 < INF
+            ids1 = ok1 & (first1 == j1)
+
+            # stage 2: contained nodes (ascending), shuffles 0..n_shuffles
             c_starts = node_pos[c_idx]  # [Cn, Pb]
-            c_len = node_len[c_idx]  # [Cn]
-            j2 = jnp.arange(n_shuffles + 1)
-            starts2 = jnp.where(
-                c_starts[:, :, None] >= 0, c_starts[:, :, None] + j2[None, None, :], -1
-            )  # [Cn, Pb, J]
-            ok2 = (
-                (starts2 >= 0)
-                & (j2[None, None, :] < c_len[:, None, None])
-                & (starts2 < path_len[None, :, None])
-            )
-            safe2 = jnp.clip(starts2, 0, W - 1)
-            bits2 = v_full[jnp.arange(Pb)[None, :, None], safe2]
-            over2 = (starts2 + eff_f <= path_len[None, :, None]) | terminal_free[
-                None, :, None
-            ]
-            ok2 = ok2 & bits2 & over2  # [Cn, Pb, J]
-            any2 = ok2.any(axis=1)  # [Cn, J]
+            c_len = node_len[c_idx]     # [Cn]
+            c_safe = jnp.clip(c_starts, 0, W - 1)
+            first2 = nxt_v[prow[None, :], c_safe] - c_starts  # [Cn, Pb]
+            bound2 = jnp.minimum(n_shuffles, c_len - 1)[:, None]
+            ok2 = (c_starts >= 0) & (first2 <= bound2)
             prio2 = jnp.where(
-                any2,
-                jnp.arange(Cn)[:, None] * (n_shuffles + 1) + j2[None, :],
+                ok2,
+                jnp.arange(c_idx.shape[0], dtype=jnp.int32)[:, None]
+                * (n_shuffles + 1)
+                + first2,
                 INF,
             )
             best2 = jnp.min(prio2)
             s2_found = best2 < INF
             c2 = best2 // (n_shuffles + 1)
             jj2 = best2 % (n_shuffles + 1)
-            ids2 = ok2[c2, :, jj2]
+            ids2 = ok2[c2] & (first2[c2] == jj2)
 
-            # stages 3/4: clipped probes at the original seed offset
-            ok3 = probe(v_cs, seed_starts + s_off, s_off, seed_len, eff_c)
-            ok3 = jnp.where(seed_starts >= 0, ok3, False)
+            # stages 3/4: single clipped probes at the original seed offset
+            def probe_clip(m_var):
+                valid = (
+                    (seed_starts >= 0)
+                    & (s_off < seed_len)
+                    & (base < path_len)
+                )
+                bit = m_var[prow, base_safe]
+                over_ok = (base + eff_c <= path_len) | terminal_free
+                return valid & bit & over_ok
+
+            ok3 = probe_clip(m_cs)
             s3_found = ok3.any()
-            ok4 = probe(v_ce, seed_starts + s_off, s_off, seed_len, eff_c)
-            ok4 = jnp.where(seed_starts >= 0, ok4, False)
+            ok4 = probe_clip(m_ce)
             s4_found = ok4.any()
 
             found = s1_found | s2_found | s3_found | s4_found
@@ -282,8 +269,8 @@ def _device_cascade(
             )
             return found, stage, win_node, win_off, ids
 
-        f0, st0, n0, o0, ids0 = per_ori(0)
-        f1, st1, n1, o1, ids1 = per_ori(1)
+        f0, st0, n0, o0, ids0 = per_ori(nxt_f, m_cs_f, m_ce_f)
+        f1, st1, n1, o1, ids1 = per_ori(nxt_r, m_cs_r, m_ce_r)
         found = f0 | f1
         use0 = f0
         return (
@@ -295,29 +282,26 @@ def _device_cascade(
             jnp.where(use0[..., None], ids0, ids1),
         )
 
-    # sequential over mappings (lax.map keeps memory at one mapping-slice),
-    # vmapped over reads within each step
-    vm = jax.vmap(per_read_mapping)
-
-    def one_mapping(args):
-        valid_m, s_idx, s_off, s_lim, c_idx = args  # each [R, ...]
-        return vm(
-            M, eff_full, eff_clip, read_len, valid_m, s_idx, s_off, s_lim, c_idx
-        )
-
-    stacked = jax.lax.map(
-        one_mapping,
-        (
-            map_valid.T,
-            seed_idx.T,
-            seed_offset.T,
-            span_limit.T,
-            contained_idx.transpose(1, 0, 2),
-        ),
-    )  # each [Mx, R] (+ ids [Mx, R, Pb])
-    found, ori, stage, node, off, ids = (
-        jnp.moveaxis(a, 0, 1) for a in stacked
-    )  # -> [R, Mx] (+ ids [R, Mx, Pb])
+    # vmap over mappings then reads (probe tensors are [Cn, Pb] — cheap)
+    vm = jax.vmap(
+        per_read_mapping,
+        in_axes=(None, None, None, None, None, None, None, 0, 0, 0, 0, 0),
+    )
+    vr = jax.vmap(vm)
+    found, ori, stage, node, off, ids = vr(
+        NXT[0],
+        NXT[1],
+        M[:, 1],
+        M[:, 2],
+        M[:, 4],
+        M[:, 5],
+        eff_clip,
+        map_valid,
+        seed_idx,
+        seed_offset,
+        span_limit,
+        contained_idx,
+    )  # each [R, Mx] (+ ids [R, Mx, Pb])
 
     # first successful mapping wins (mappings are pre-sorted by node/offset)
     win_m = jnp.argmax(found, axis=1)  # [R]
@@ -355,8 +339,7 @@ class DeviceAligner:
     # remote (tunnelled) compiles cost tens of seconds each
     R_BUCKETS = (16, 128)
     M_BUCKETS = (4, 16, 64)
-    C_BUCKETS = (16, 64, 160)
-    S_BUCKETS = (256, 1024, 4096)
+    C_BUCKETS = (32, 160)
 
     def __init__(self, store: Dict[int, GrootGraph], references=None):
         self.store = store
@@ -369,7 +352,7 @@ class DeviceAligner:
             self._graphs[graph.graph_id] = dg
         return dg
 
-    MEM_BUDGET = 512 * 1024 * 1024  # bytes for the biggest cascade temporary
+    MEM_BUDGET = 1024 * 1024 * 1024  # bytes of transient HBM per chunk
 
     def align_read_batch(
         self, graph: GrootGraph, items: List[Tuple[FastqRead, List, float]]
@@ -377,25 +360,13 @@ class DeviceAligner:
         return self.collect(graph, self.submit(graph, items))
 
     def submit(self, graph: GrootGraph, items):
-        """Phase 1: launch the cascade asynchronously (chunked to keep the
-        [R, Mx, Cn, Pb, J] / [R, Mx, Pb, S1] temporaries within budget).
+        """Phase 1: launch the cascade asynchronously (chunked so the conv
+        counts / match / NXT volumes fit the transient-HBM budget).
         Returns opaque handles; pass to collect()."""
         dg = self.graph_dev(graph)
-        Mx = max(len(it[1]) for it in items)
-        Cn = max(
-            (len(m.contained_nodes) for it in items for m in it[1]), default=1
-        )
-        s1 = 1 + max(
-            (int(m.merge_span + m.window_size) for it in items for m in it[1]),
-            default=1,
-        )
-        # per-read HBM: the conv output (f32 counts [Pb, W, 6] + bool match
-        # volume) dominates; the lax.map probe slice adds
-        # [Pb, max(S1, Cn*11)] i32
-        per_read = (
-            dg.Pb * dg.Lb * 6 * 5  # counts f32 (4B) + M bool (1B)
-            + 4 * dg.Pb * max(s1, Cn * (NODE_SHUFFLES + 1))
-        )
+        # per-read HBM: f32 conv counts [Pb, W, 6] + bool match volume +
+        # two i32 NXT volumes
+        per_read = dg.Pb * dg.Lb * (6 * 5 + 2 * 4)
         # chunk to the largest R bucket whose PADDED size fits the budget
         max_r = self.R_BUCKETS[0]
         for b in self.R_BUCKETS:
@@ -431,12 +402,6 @@ class DeviceAligner:
             ),
             self.C_BUCKETS,
         )
-        s1_need = 1 + max(
-            (int(m.merge_span + m.window_size) for it in items for m in it[1]),
-            default=1,
-        )
-        S1 = _bucket(s1_need, self.S_BUCKETS)
-
         read_codes = np.full((Rb, Lr), 4, dtype=np.uint8)
         read_len = np.zeros(Rb, dtype=np.int32)
         map_valid = np.zeros((Rb, Mx), dtype=bool)
@@ -469,7 +434,6 @@ class DeviceAligner:
             jnp.asarray(seed_offset),
             jnp.asarray(span_limit),
             jnp.asarray(contained_idx),
-            S1,
         )
 
     def _collect_chunk(
