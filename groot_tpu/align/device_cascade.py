@@ -59,12 +59,17 @@ class _DeviceGraph:
         padded = np.full((self.Pb, self.Lb), 4, dtype=np.uint8)
         padded[:P, :L] = codes
         self.codes = jnp.asarray(padded)
-        # node tables: row index = dense node rank (sorted segment id)
+        # node tables: row index = dense node rank (sorted segment id).
+        # Nn is a static dim of the cascade — bucket it (like Pb/Lb) or every
+        # distinct per-graph node count forces a fresh tunnel compile
+        # (arg-annot.90 alone has 102 distinct node counts across 583 graphs).
         self.node_ids = sorted(gp.node_pos)
         self.node_rank = {nid: i for i, nid in enumerate(self.node_ids)}
         Nn = len(self.node_ids)
-        node_pos = np.full((Nn + 1, self.Pb), -1, dtype=np.int32)  # +1 pad row
-        node_len = np.zeros(Nn + 1, dtype=np.int32)
+        Nb = next((b for b in (64, 160, 640) if Nn + 1 <= b),
+                  -(-(Nn + 1) // 640) * 640)
+        node_pos = np.full((Nb, self.Pb), -1, dtype=np.int32)  # trailing pad rows
+        node_len = np.zeros(Nb, dtype=np.int32)
         for i, nid in enumerate(self.node_ids):
             node_len[i] = gp.node_len[nid]
             for row, pid in enumerate(gp.path_ids):

@@ -36,7 +36,7 @@ TB = 8  # reads per grid step (sublane tile)
 
 
 def _rortabs(L: int):
-    """Host-precomputed position-rotated seed tables, uint32 pairs [L, 5]."""
+    """Host-precomputed position-rotated seed tables, uint32 pairs [5, L]."""
     m = np.arange(L, dtype=np.uint64) % np.uint64(64)
     with np.errstate(over="ignore"):
         def ror(x, r):
@@ -49,8 +49,8 @@ def _rortabs(L: int):
                 r == 0, x, (x << r) | (x >> (np.uint64(64) - r))
             ).astype(np.uint64)
 
-        fwd = ror(nthash.SEEDS_NP[None, :], m[:, None])      # t[m] tables
-        rev = rol(nthash.SEEDS_RC_NP[None, :], m[:, None])   # u[m] tables
+        fwd = ror(nthash.SEEDS_NP[:, None], m[None, :])      # [5, L] t[m] tables
+        rev = rol(nthash.SEEDS_RC_NP[:, None], m[None, :])   # [5, L] u[m] tables
     split = lambda a: (
         (a >> np.uint64(32)).astype(np.uint32),
         (a & np.uint64(0xFFFFFFFF)).astype(np.uint32),
@@ -58,14 +58,16 @@ def _rortabs(L: int):
     return split(fwd), split(rev)
 
 
-def _sel_seed(codes, tab_hi, tab_lo):
-    """t[b, m] = tab[m, codes[b, m]] via 5 selects (no gathers)."""
+def _sel_seed(codes, tab_hi_ref, tab_lo_ref):
+    """t[b, m] = tab[codes[b, m], m] via 5 selects against static ref rows
+    (row slices are memory loads; value-level fancy indexing would emit a
+    gather Mosaic can't lower)."""
     hi = jnp.zeros_like(codes, dtype=jnp.uint32)
     lo = jnp.zeros_like(codes, dtype=jnp.uint32)
     for c in range(5):
         is_c = codes == c
-        hi = jnp.where(is_c, tab_hi[None, :, c], hi)
-        lo = jnp.where(is_c, tab_lo[None, :, c], lo)
+        hi = jnp.where(is_c, tab_hi_ref[c : c + 1, :], hi)
+        lo = jnp.where(is_c, tab_lo_ref[c : c + 1, :], lo)
     return hi, lo
 
 
@@ -127,8 +129,8 @@ def _kernel(
     nk = L - k + 1
     FULL = jnp.uint32(0xFFFFFFFF)
 
-    t = _sel_seed(codes, fhi_ref[:], flo_ref[:])
-    u_ = _sel_seed(codes, rhi_ref[:], rlo_ref[:])
+    t = _sel_seed(codes, fhi_ref, flo_ref)
+    u_ = _sel_seed(codes, rhi_ref, rlo_ref)
     X = _prefix_xor(t, L)
     Y = _prefix_xor(u_, L)
 
@@ -155,7 +157,16 @@ def _kernel(
     valid = lane.astype(jnp.int32) < nk_valid
     c = (jnp.where(valid, c[0], FULL), jnp.where(valid, c[1], FULL))
 
-    # per-slot multihash + min-reduce, one slot at a time (VMEM-resident)
+    # per-slot multihash + min-reduce, one slot at a time (VMEM-resident).
+    # Mosaic has no unsigned reductions: min in sign-flipped int32 space
+    # (x ^ 0x8000_0000 bitcast to int32 preserves unsigned order).
+    SGN = jnp.uint32(0x80000000)
+
+    def umin_rows(x):  # uint32 [TB, L] -> uint32 [TB, 1]
+        xs = jax.lax.bitcast_convert_type(x ^ SGN, jnp.int32)
+        m = jnp.min(xs, axis=1, keepdims=True)
+        return jax.lax.bitcast_convert_type(m, jnp.uint32) ^ SGN
+
     for slot in range(s):
         if slot == 0:
             h = c
@@ -164,11 +175,11 @@ def _kernel(
                             jnp.uint32(mults[slot] & 0xFFFFFFFF)))
             h = u64.xor(h, u64.shr(h, nthash.MULTISHIFT))
             h = (jnp.where(valid, h[0], FULL), jnp.where(valid, h[1], FULL))
-        mhi = jnp.min(h[0], axis=1)  # [TB]
-        big_lo = jnp.where(h[0] == mhi[:, None], h[1], FULL)
-        mlo = jnp.min(big_lo, axis=1)
-        out_hi_ref[:, slot] = mhi
-        out_lo_ref[:, slot] = mlo
+        mhi = umin_rows(h[0])  # [TB, 1]
+        big_lo = jnp.where(h[0] == mhi, h[1], FULL)
+        mlo = umin_rows(big_lo)
+        out_hi_ref[:, slot : slot + 1] = mhi
+        out_lo_ref[:, slot : slot + 1] = mlo
 
 
 def sketch_reads(codes, valid_len, k: int, s: int):
@@ -211,10 +222,10 @@ def khf_sketch_pallas(codes, valid_len, k: int, s: int, interpret: bool = False)
         in_specs=[
             pl.BlockSpec((TB, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((TB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, 5), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, 5), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, 5), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, 5), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((5, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((5, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((5, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((5, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((TB, s), lambda i: (i, 0), memory_space=pltpu.VMEM),
