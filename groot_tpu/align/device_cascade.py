@@ -10,14 +10,19 @@ returns to the host. This matters twice over:
     graphs x batches); the winner summary is 3 orders of magnitude smaller;
   * it removes the per-read Python cascade from the hot path.
 
+v2.1: calls are batched ACROSS GRAPHS. A read batch seeds ~hundreds of
+graphs; one device call per graph costs hundreds of dispatch+fetch round
+trips per batch (through a tunnelled TPU that alone caps throughput at
+~50 reads/s). Instead graphs are packed into per-shape-signature stacks
+(sig = (Pb, Lb) padded path-matrix shape) resident on device, and each
+call processes G rows of (graph slot, <=RB reads) at once via vmap —
+device calls per read batch drop from ~600 to ~5-15.
+
 Winner summary per (read, graph): success flag, winning mapping index,
 orientation, stage, probe node row + in-node offset, clip counts, and the
 matching-path bitmask. The host reconstructs SAM records from its node
 position tables (start_p = pos_p(node) + offset, alignment.go:294-296) and
 replays increment_subpath for mappings up to the winner.
-
-Per-graph static arrays are uploaded once and cached on device; per batch
-only read codes and mapping indices move host->device.
 """
 
 from __future__ import annotations
@@ -37,9 +42,15 @@ from .aligner import AlignmentRecord, MAX_CLIP, NODE_SHUFFLES, _GraphPack
 
 INF = np.int32(2**30)
 
+NB = 640        # node-table rows per graph (shared; last row = pad)
+RB = 16         # reads per row
+CN = 160        # contained-node probes per mapping
+MAX_READ = 352  # longest supported read (trailing wildcard pad)
 
-class _DeviceGraph:
-    """Per-graph device arrays (uploaded once)."""
+
+class _HostGraph:
+    """Per-graph host arrays + shape signature (device residency is managed
+    by the per-signature stacks in DeviceAligner)."""
 
     def __init__(self, graph: GrootGraph):
         gp = _GraphPack(graph)
@@ -52,40 +63,103 @@ class _DeviceGraph:
         L = codes.shape[1]
         # trailing wildcard pad must cover the longest read so overhang
         # probes (dead-end partials, alignment.go:229) see match-anything
-        self.max_read = 352
-        Lneed = L + self.max_read
+        Lneed = L + MAX_READ
         self.Lb = next((b for b in (1024, 2048, 4096) if Lneed <= b),
                        -(-Lneed // 1024) * 1024)
-        padded = np.full((self.Pb, self.Lb), 4, dtype=np.uint8)
-        padded[:P, :L] = codes
-        self.codes = jnp.asarray(padded)
+        self.codes = np.full((self.Pb, self.Lb), 4, dtype=np.uint8)
+        self.codes[:P, :L] = codes
         # node tables: row index = dense node rank (sorted segment id).
-        # Nn is a static dim of the cascade — bucket it (like Pb/Lb) or every
-        # distinct per-graph node count forces a fresh tunnel compile
-        # (arg-annot.90 alone has 102 distinct node counts across 583 graphs).
+        # All dims are bucketed — every distinct static shape is a fresh
+        # (tunnelled, tens-of-seconds) XLA compile.
         self.node_ids = sorted(gp.node_pos)
         self.node_rank = {nid: i for i, nid in enumerate(self.node_ids)}
         Nn = len(self.node_ids)
-        Nb = next((b for b in (64, 160, 640) if Nn + 1 <= b),
-                  -(-(Nn + 1) // 640) * 640)
-        node_pos = np.full((Nb, self.Pb), -1, dtype=np.int32)  # trailing pad rows
-        node_len = np.zeros(Nb, dtype=np.int32)
+        self.Nb = NB if Nn < NB else -(-(Nn + 1) // NB) * NB
+        self.node_pos = np.full((self.Nb, self.Pb), -1, dtype=np.int32)
+        self.node_len = np.zeros(self.Nb, dtype=np.int32)
         for i, nid in enumerate(self.node_ids):
-            node_len[i] = gp.node_len[nid]
+            self.node_len[i] = gp.node_len[nid]
             for row, pid in enumerate(gp.path_ids):
                 pos = gp.node_pos[nid].get(pid)
                 if pos is not None:
-                    node_pos[i, row] = pos
-        self.node_pos = jnp.asarray(node_pos)
-        self.node_len = jnp.asarray(node_len)
-        self.pad_node = Nn  # rank used for padding (no paths, zero length)
-        path_len = np.zeros(self.Pb, dtype=np.int32)
-        path_len[:P] = gp.lengths
-        self.path_len = jnp.asarray(path_len)
-        term = np.zeros(self.Pb, dtype=bool)
+                    self.node_pos[i, row] = pos
+        self.pad_node = self.Nb - 1  # all -1/0: probes there never match
+        self.node_pos[self.pad_node] = -1
+        self.node_len[self.pad_node] = 0
+        self.path_len = np.zeros(self.Pb, dtype=np.int32)
+        self.path_len[:P] = gp.lengths
+        self.terminal_free = np.zeros(self.Pb, dtype=bool)
         for row, pid in enumerate(gp.path_ids):
-            term[row] = gp.terminal_free[pid]
-        self.terminal_free = jnp.asarray(term)
+            self.terminal_free[row] = gp.terminal_free[pid]
+        self.sig = (self.Pb, self.Lb, self.Nb)
+        # per-mapping packed probe params, cached by Key identity (the same
+        # Key object seeds many reads; Keys live as long as the index)
+        self.map_cache: Dict[int, Tuple[int, int, np.ndarray]] = {}
+
+    def mapping_params(self, mapping) -> Tuple[int, int, np.ndarray, np.ndarray, bool]:
+        """(seed_rank, span_limit, contained_ranks[:CN], weight_shares,
+        multi_node) for a window Key. weight_shares replays
+        increment_subpath vectorized (grootgraph.py:180-196): per-node
+        kmer_freq delta = share * num_kmers; multi_node windows also bump
+        kmer_total by int(num_kmers)."""
+        params = self.map_cache.get(id(mapping))
+        if params is None:
+            nodes = sorted(mapping.contained_nodes)
+            # probe ranks cap at CN; weighting covers EVERY contained node
+            # (the reference weights the full dict, graphminion.go:67)
+            all_ranks = np.array(
+                [self.node_rank[n] for n in nodes], dtype=np.int32
+            )
+            gp = self.gp
+            if len(nodes) == 1:
+                shares = np.ones(1, dtype=np.float64)
+                multi = False
+            else:
+                lens = np.array(
+                    [gp.node_len[n] for n in nodes], dtype=np.float64
+                )
+                counts = np.array(
+                    [mapping.contained_nodes[n] for n in nodes],
+                    dtype=np.float64,
+                )
+                shares = (lens / lens.sum()) * counts
+                multi = True
+            params = (
+                self.node_rank[mapping.node],
+                int(mapping.merge_span + mapping.window_size),
+                all_ranks[:CN],
+                (all_ranks, shares, multi),
+            )
+            self.map_cache[id(mapping)] = params
+        return params
+
+
+class _SigStack:
+    """Device-resident stack of all (so far seen) graphs of one signature."""
+
+    def __init__(self, sig):
+        self.sig = sig
+        self.slots: Dict[int, int] = {}   # graph_id -> slot
+        self.host: List[_HostGraph] = []
+        self._dev = None                  # tuple of jnp arrays or None
+
+    def add(self, graph_id: int, hg: _HostGraph) -> int:
+        slot = len(self.host)
+        self.slots[graph_id] = slot
+        self.host.append(hg)
+        self._dev = None  # stale
+        return slot
+
+    def device(self):
+        if self._dev is None:
+            self._dev = (
+                jnp.asarray(np.stack([h.codes for h in self.host])),
+                jnp.asarray(np.stack([h.node_pos for h in self.host])),
+                jnp.asarray(np.stack([h.node_len for h in self.host])),
+                jnp.asarray(np.stack([h.path_len for h in self.host])),
+                jnp.asarray(np.stack([h.terminal_free for h in self.host])),
+            )
+        return self._dev
 
 
 def _bucket(x: int, mults: Tuple[int, ...]) -> int:
@@ -95,11 +169,10 @@ def _bucket(x: int, mults: Tuple[int, ...]) -> int:
     return mults[-1]
 
 
-@partial(jax.jit, static_argnames=("n_shuffles",))
-def _device_cascade(
+def _cascade_core(
     path_codes,      # u8 [Pb, Lb]
-    node_pos,        # i32 [Nn+1, Pb]
-    node_len,        # i32 [Nn+1]
+    node_pos,        # i32 [Nb, Pb]
+    node_len,        # i32 [Nb]
     path_len,        # i32 [Pb]
     terminal_free,   # bool [Pb]
     read_codes,      # u8 [R, Lr]
@@ -111,9 +184,9 @@ def _device_cascade(
     contained_idx,   # i32 [R, Mx, Cn] node ranks (pad row when absent)
     n_shuffles: int = NODE_SHUFFLES,
 ):
-    """Full cascade for one graph x read-group. Returns per read:
-    (found, win_m, win_ori, win_stage, win_node, win_off, clip_s, clip_e,
-    ids_mask [Pb] bool)."""
+    """Full cascade for one graph x read-group. Returns per read a packed
+    i32 [R, 8 + Pb] row: (found, win_m, win_ori, win_stage, win_node,
+    win_off, clip_s, clip_e, ids_mask...)."""
     Pb, Lb = path_codes.shape
     R, Lr = read_codes.shape
     Mx = map_valid.shape[1]
@@ -337,101 +410,181 @@ def _device_cascade(
     return jnp.concatenate([scalars, win_ids.astype(jnp.int32)], axis=1)
 
 
+@partial(jax.jit, static_argnames=("n_shuffles",))
+def _device_cascade(*args, n_shuffles: int = NODE_SHUFFLES):
+    """Single-graph cascade (kept for direct use/tests)."""
+    return _cascade_core(*args, n_shuffles=n_shuffles)
+
+
+@partial(jax.jit, static_argnames=("n_shuffles",))
+def _device_cascade_g(
+    stack_codes,     # u8 [Gs, Pb, Lb]   (full signature stack)
+    stack_npos,      # i32 [Gs, Nb, Pb]
+    stack_nlen,      # i32 [Gs, Nb]
+    stack_plen,      # i32 [Gs, Pb]
+    stack_term,      # bool [Gs, Pb]
+    gidx,            # i32 [G] slot per row
+    read_codes,      # u8 [G, R, Lr]
+    read_len,        # i32 [G, R]
+    map_valid,       # bool [G, R, Mx]
+    seed_idx,        # i32 [G, R, Mx]
+    seed_offset,     # i32 [G, R, Mx]
+    span_limit,      # i32 [G, R, Mx]
+    contained_idx,   # i32 [G, R, Mx, Cn]
+    n_shuffles: int = NODE_SHUFFLES,
+):
+    """Graph-batched cascade: one call per (signature, row-chunk) instead of
+    one per graph. Rows gather their graph's arrays from the resident stack."""
+
+    def row(gi, rc, rl, mv, si, so, sl, ci):
+        return _cascade_core(
+            stack_codes[gi],
+            stack_npos[gi],
+            stack_nlen[gi],
+            stack_plen[gi],
+            stack_term[gi],
+            rc, rl, mv, si, so, sl, ci,
+            n_shuffles=n_shuffles,
+        )
+
+    return jax.vmap(row)(
+        gidx, read_codes, read_len, map_valid, seed_idx, seed_offset,
+        span_limit, contained_idx,
+    )
+
+
 class DeviceAligner:
     """Drop-in alternative to GraphAligner with the cascade on device."""
 
     # coarse buckets: every static dim combination is one XLA compile, and
     # remote (tunnelled) compiles cost tens of seconds each
-    R_BUCKETS = (16, 128)
-    M_BUCKETS = (4, 16, 64)
-    C_BUCKETS = (32, 160)
+    G_BUCKETS = (8, 32, 128)
+    M_BUCKETS = (16, 64)
 
-    def __init__(self, store: Dict[int, GrootGraph], references=None):
+    MEM_BUDGET = 4 * 1024 * 1024 * 1024  # transient HBM per call
+
+    def __init__(
+        self, store: Dict[int, GrootGraph], references=None, prebuild: bool = True
+    ):
         self.store = store
-        self._graphs: Dict[int, _DeviceGraph] = {}
+        self._graphs: Dict[int, _HostGraph] = {}
+        self._stacks: Dict[Tuple[int, int, int], _SigStack] = {}
+        # deferred weighting: per-graph (kmer_freq deltas, kmer_total delta)
+        # accumulated in numpy, flushed to graph objects by flush_weights()
+        self._kf_acc: Dict[int, np.ndarray] = {}
+        self._kt_acc: Dict[int, float] = {}
+        if prebuild:
+            # pack every graph up front: stacks upload once instead of
+            # re-stacking every time a batch sees a new graph
+            for gid in sorted(store):
+                self.graph_dev(store[gid])
 
-    def graph_dev(self, graph: GrootGraph) -> _DeviceGraph:
-        dg = self._graphs.get(graph.graph_id)
-        if dg is None:
-            dg = _DeviceGraph(graph)
-            self._graphs[graph.graph_id] = dg
-        return dg
+    def flush_weights(self) -> None:
+        """Apply the accumulated increment_subpath replay to the graphs.
+        MUST be called before prune/EM/GFA-save read node.kmer_freq."""
+        for gid, kf in self._kf_acc.items():
+            graph = self.store[gid]
+            hg = self._graphs[gid]
+            for i, nid in enumerate(hg.node_ids):
+                if kf[i]:
+                    graph.get_node(nid).kmer_freq += float(kf[i])
+            graph.kmer_total += self._kt_acc.get(gid, 0.0)
+        self._kf_acc.clear()
+        self._kt_acc.clear()
 
-    MEM_BUDGET = 1024 * 1024 * 1024  # bytes of transient HBM per chunk
+    def graph_dev(self, graph: GrootGraph) -> _HostGraph:
+        hg = self._graphs.get(graph.graph_id)
+        if hg is None:
+            hg = _HostGraph(graph)
+            self._graphs[graph.graph_id] = hg
+            stack = self._stacks.get(hg.sig)
+            if stack is None:
+                stack = self._stacks[hg.sig] = _SigStack(hg.sig)
+            hg.slot = stack.add(graph.graph_id, hg)
+        return hg
 
-    def align_read_batch(
-        self, graph: GrootGraph, items: List[Tuple[FastqRead, List, float]]
-    ) -> List[Tuple[List[AlignmentRecord], int]]:
-        return self.collect(graph, self.submit(graph, items))
+    # ------------------------------------------------------------------
+    # batch-level API: one submit for ALL graphs seeded by a read batch
+    # ------------------------------------------------------------------
+    def submit_batch(self, per_graph: Dict[int, List[Tuple[FastqRead, List, float]]]):
+        """Launch the cascade for every (graph, items) group in as few
+        device calls as possible. Returns an opaque handle for collect."""
+        # build rows: (hg, items_chunk, graph_id, item_offset)
+        rows_by_sig: Dict[Tuple[int, int, int], List] = {}
+        for gid, items in per_graph.items():
+            hg = self.graph_dev(self.store[gid])
+            rows = rows_by_sig.setdefault(hg.sig, [])
+            for i in range(0, len(items), RB):
+                rows.append((hg, items[i : i + RB], gid, i))
 
-    def submit(self, graph: GrootGraph, items):
-        """Phase 1: launch the cascade asynchronously (chunked so the conv
-        counts / match / NXT volumes fit the transient-HBM budget).
-        Returns opaque handles; pass to collect()."""
-        dg = self.graph_dev(graph)
-        # per-read HBM: f32 conv counts [Pb, W, 6] + bool match volume +
-        # two i32 NXT volumes
-        per_read = dg.Pb * dg.Lb * (6 * 5 + 2 * 4)
-        # chunk to the largest R bucket whose PADDED size fits the budget
-        max_r = self.R_BUCKETS[0]
-        for b in self.R_BUCKETS:
-            if b * per_read <= self.MEM_BUDGET:
-                max_r = b
-        handles = []
-        for i in range(0, len(items), max_r):
-            chunk = items[i : i + max_r]
-            handles.append((chunk, self._submit_chunk(dg, chunk)))
-        return (dg, handles)
+        calls = []
+        for sig, rows in rows_by_sig.items():
+            Pb, Lb, Nb = sig
+            stack = self._stacks[sig]
+            dev = stack.device()
+            # per-row transient HBM: conv counts f32 [Pb, W, RB*6] + match
+            # volume + two i32 NXT volumes
+            per_row = RB * Pb * Lb * (6 * 5 + 2 * 4)
+            g_max = self.G_BUCKETS[0]
+            for b in self.G_BUCKETS:
+                if b * per_row <= self.MEM_BUDGET:
+                    g_max = b
+            Lr_max = max(
+                len(it[0].seq) for _, chunk, _, _ in rows for it in chunk
+            )
+            Lr = -(-max(Lr_max, 32) // 32) * 32
+            for i in range(0, len(rows), g_max):
+                chunk_rows = rows[i : i + g_max]
+                calls.append(
+                    (chunk_rows, self._submit_rows(stack, dev, chunk_rows, Lr))
+                )
+        return calls
 
-    def collect(self, graph: GrootGraph, submitted):
-        """Phase 2: fetch results (one D2H per chunk), replay weighting and
-        build records."""
-        dg, handles = submitted
-        out: List[Tuple[List[AlignmentRecord], int]] = []
-        for chunk, dev_out in handles:
-            out.extend(self._collect_chunk(graph, dg, chunk, dev_out))
+    def collect_batch(self, calls):
+        """Fetch all results; returns {graph_id: [(records, n_weighted), ...]}
+        in the per-graph item order."""
+        out: Dict[int, List[Tuple[List[AlignmentRecord], int]]] = {}
+        for chunk_rows, dev_out in calls:
+            packed = np.asarray(dev_out)  # [G, R, 8+Pb]
+            for g, (hg, items, gid, _off) in enumerate(chunk_rows):
+                graph = self.store[gid]
+                res = self._collect_row(graph, hg, items, packed[g])
+                out.setdefault(gid, []).extend(res)
         return out
 
-    def _submit_chunk(
-        self, dg: _DeviceGraph, items: List[Tuple[FastqRead, List, float]]
-    ):
-        R = len(items)
-        Rb = _bucket(R, self.R_BUCKETS)
-        Lr_max = max(len(it[0].seq) for it in items)
-        Lr = -(-max(Lr_max, 32) // 32) * 32
-        Mx = _bucket(max(len(it[1]) for it in items), self.M_BUCKETS)
-        Cn = _bucket(
-            max(
-                (len(m.contained_nodes) for it in items for m in it[1]),
-                default=1,
-            ),
-            self.C_BUCKETS,
+    def _submit_rows(self, stack: _SigStack, dev, rows, Lr: int):
+        Pb, Lb, Nb = stack.sig
+        G = _bucket(len(rows), self.G_BUCKETS)
+        Mx = _bucket(
+            max((len(it[1]) for _, chunk, _, _ in rows for it in chunk), default=1),
+            self.M_BUCKETS,
         )
-        read_codes = np.full((Rb, Lr), 4, dtype=np.uint8)
-        read_len = np.zeros(Rb, dtype=np.int32)
-        map_valid = np.zeros((Rb, Mx), dtype=bool)
-        seed_idx = np.full((Rb, Mx), dg.pad_node, dtype=np.int32)
-        seed_offset = np.zeros((Rb, Mx), dtype=np.int32)
-        span_limit = np.full((Rb, Mx), -1, dtype=np.int32)
-        contained_idx = np.full((Rb, Mx, Cn), dg.pad_node, dtype=np.int32)
-        for r, (read, mappings, _kc) in enumerate(items):
-            codes = ASCII_TO_CODE[np.frombuffer(read.seq, np.uint8)]
-            read_codes[r, : len(codes)] = codes
-            read_len[r] = len(codes)
-            for m, mapping in enumerate(mappings[:Mx]):
-                map_valid[r, m] = True
-                seed_idx[r, m] = dg.node_rank[mapping.node]
-                seed_offset[r, m] = mapping.offset
-                span_limit[r, m] = int(mapping.merge_span + mapping.window_size)
-                for c, nid in enumerate(sorted(mapping.contained_nodes)[:Cn]):
-                    contained_idx[r, m, c] = dg.node_rank[nid]
+        pad_node = Nb - 1
+        gidx = np.zeros(G, dtype=np.int32)
+        read_codes = np.full((G, RB, Lr), 4, dtype=np.uint8)
+        read_len = np.zeros((G, RB), dtype=np.int32)
+        map_valid = np.zeros((G, RB, Mx), dtype=bool)
+        seed_idx = np.full((G, RB, Mx), pad_node, dtype=np.int32)
+        seed_offset = np.zeros((G, RB, Mx), dtype=np.int32)
+        span_limit = np.full((G, RB, Mx), -1, dtype=np.int32)
+        contained_idx = np.full((G, RB, Mx, CN), pad_node, dtype=np.int32)
+        for g, (hg, items, _gid, _off) in enumerate(rows):
+            gidx[g] = hg.slot
+            for r, (read, mappings, _kc) in enumerate(items):
+                codes = ASCII_TO_CODE[np.frombuffer(read.seq, np.uint8)]
+                read_codes[g, r, : len(codes)] = codes
+                read_len[g, r] = len(codes)
+                for m, mapping in enumerate(mappings[:Mx]):
+                    map_valid[g, r, m] = True
+                    s_rank, s_lim, c_ranks, _w = hg.mapping_params(mapping)
+                    seed_idx[g, r, m] = s_rank
+                    seed_offset[g, r, m] = mapping.offset
+                    span_limit[g, r, m] = s_lim
+                    contained_idx[g, r, m, : len(c_ranks)] = c_ranks
 
-        return _device_cascade(
-            dg.codes,
-            dg.node_pos,
-            dg.node_len,
-            dg.path_len,
-            dg.terminal_free,
+        out = _device_cascade_g(
+            *dev,
+            jnp.asarray(gidx),
             jnp.asarray(read_codes),
             jnp.asarray(read_len),
             jnp.asarray(map_valid),
@@ -440,11 +593,26 @@ class DeviceAligner:
             jnp.asarray(span_limit),
             jnp.asarray(contained_idx),
         )
+        try:
+            out.copy_to_host_async()  # overlap D2H with later dispatches
+        except AttributeError:
+            pass
+        return out
 
-    def _collect_chunk(
-        self, graph, dg: _DeviceGraph, items, dev_out
+    # ------------------------------------------------------------------
+    # single-graph API (tests / host-aligner drop-in)
+    # ------------------------------------------------------------------
+    def align_read_batch(
+        self, graph: GrootGraph, items: List[Tuple[FastqRead, List, float]]
     ) -> List[Tuple[List[AlignmentRecord], int]]:
-        packed = np.asarray(dev_out)  # single D2H fetch per chunk
+        calls = self.submit_batch({graph.graph_id: items})
+        out = self.collect_batch(calls)[graph.graph_id]
+        self.flush_weights()  # single-graph API weights eagerly
+        return out
+
+    def _collect_row(
+        self, graph, hg: _HostGraph, items, packed
+    ) -> List[Tuple[List[AlignmentRecord], int]]:
         found = packed[:, 0].astype(bool)
         win_m = packed[:, 1]
         win_ori = packed[:, 2]
@@ -455,20 +623,30 @@ class DeviceAligner:
         win_ids = packed[:, 8:]
 
         results: List[Tuple[List[AlignmentRecord], int]] = []
-        gp = dg.gp
+        gp = hg.gp
+        gid = graph.graph_id
+        kf = self._kf_acc.get(gid)
+        if kf is None:
+            kf = self._kf_acc[gid] = np.zeros(len(hg.node_ids), np.float64)
+            self._kt_acc[gid] = 0.0
         for r, (read, mappings, kmer_count) in enumerate(items):
             n_weighted = (
                 int(win_m[r]) + 1 if found[r] else len(mappings)
             )
             n_weighted = min(n_weighted, len(mappings))
             for mapping in mappings[:n_weighted]:
-                graph.increment_subpath(mapping.contained_nodes, kmer_count)
+                _s, _l, _c, (w_ranks, shares, multi) = hg.mapping_params(
+                    mapping
+                )
+                kf[w_ranks] += shares * kmer_count
+                if multi:
+                    self._kt_acc[gid] += float(int(kmer_count))
             records: List[AlignmentRecord] = []
             if found[r]:
                 records = self._build_records(
                     graph,
                     gp,
-                    dg,
+                    hg,
                     read,
                     int(win_ori[r]),
                     int(win_node[r]),
@@ -481,9 +659,9 @@ class DeviceAligner:
         return results
 
     def _build_records(
-        self, graph, gp, dg, read, ori, node_rank, o_node, cs, ce, ids_mask
+        self, graph, gp, hg, read, ori, node_rank, o_node, cs, ce, ids_mask
     ) -> List[AlignmentRecord]:
-        node_id = dg.node_ids[node_rank]
+        node_id = hg.node_ids[node_rank]
         pos_map = gp.node_pos[node_id]
         seq = read.seq
         qual = read.qual

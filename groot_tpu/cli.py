@@ -143,8 +143,25 @@ def _enable_compilation_cache() -> None:
         pass
 
 
+def _honor_platform_env() -> None:
+    """Make JAX_PLATFORMS effective even when a sitecustomize registered a
+    platform plugin and set jax_platforms programmatically (which beats the
+    env var). Must run before the first jax computation."""
+    want = os.environ.get("JAX_PLATFORMS")
+    if not want:
+        return
+    try:
+        import jax
+
+        if jax.config.jax_platforms != want:
+            jax.config.update("jax_platforms", want)
+    except Exception:
+        pass
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    _honor_platform_env()
     _enable_compilation_cache()
     if args.cmd == "version":
         print(get_version())

@@ -188,17 +188,16 @@ class ContainmentIndex:
             threshold,
         )
         win_idx = np.asarray(win_idx)
-        out: List[Dict[int, List[Key]]] = []
-        for b in range(B):
-            hits: Dict[int, List[Key]] = {}
-            for w in win_idx[b]:
-                if w < 0:
-                    continue
-                key = self.keys[int(w)]
-                hits.setdefault(key.graph_id, []).append(key)
+        out: List[Dict[int, List[Key]]] = [{} for _ in range(B)]
+        rows, cols = np.nonzero(win_idx >= 0)  # touch only actual hits
+        wins = win_idx[rows, cols]
+        keys = self.keys
+        for b, w in zip(rows.tolist(), wins.tolist()):
+            key = keys[w]
+            out[b].setdefault(key.graph_id, []).append(key)
+        for hits in out:
             for g in hits:
                 hits[g].sort(key=lambda k: (k.node, k.offset))
-            out.append(hits)
         return out
 
     # ------------------------------------------------------------------

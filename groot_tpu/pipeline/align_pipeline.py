@@ -192,6 +192,9 @@ def run_align(
             raw_count / max(_time.time() - t_start, 1e-9),
         )
 
+    if aligner is not None and hasattr(aligner, "flush_weights"):
+        aligner.flush_weights()  # apply deferred increment_subpath replay
+
     if raw_count == 0:
         raise ValueError("no fastq reads received")
     log.info("\tnumber of reads received from input: %d", raw_count)
@@ -220,7 +223,12 @@ def run_align(
     return stats
 
 
+_TIMING = os.environ.get("GROOT_TIMING", "")
+
+
 def _process_batch(info, batch, aligner, bam_writer, stats, k, s, t):
+    import time as _time
+
     if (batch.lengths < k).any():
         short = int(batch.lengths.min())
         raise ValueError(
@@ -228,9 +236,13 @@ def _process_batch(info, batch, aligner, bam_writer, stats, k, s, t):
         )
     from ..ops.pallas_sketch import sketch_reads
 
+    t0 = _time.time()
     hi, lo = sketch_reads(batch.codes, batch.lengths, k, s)
     kmer_counts = (batch.lengths - k + 1).astype(np.int32)
-    results = info.db.query_batch(np.asarray(hi), np.asarray(lo), kmer_counts, t)
+    # hi/lo stay on device: query_batch feeds them straight into the jitted
+    # LSH lookup (a np.asarray here would bounce them D2H then H2D)
+    results = info.db.query_batch(hi, lo, kmer_counts, t)
+    t1 = _time.time()
 
     # group seeded reads per graph (the per-graph minion queues of
     # boss.go:122-131 become a batch dimension); unmapped reads never
@@ -258,29 +270,35 @@ def _process_batch(info, batch, aligner, bam_writer, stats, k, s, t):
                     graph.increment_subpath(mapping.contained_nodes, kc)
         return
 
-    # two-phase: launch every graph's cascade asynchronously, then collect —
-    # device compute for graph g+1 overlaps the host work for graph g
-    submitted = []
-    can_submit = hasattr(aligner, "submit")
-    if can_submit:
-        for graph_id, items in per_graph.items():
-            graph = info.store[graph_id]
-            submitted.append((graph, items, aligner.submit(graph, items)))
+    t2 = _time.time()
+    # two-phase: submit the whole batch's cascades (graph-batched device
+    # calls), then collect — device compute overlaps host packing/fetches
+    if hasattr(aligner, "submit_batch"):
+        calls = aligner.submit_batch(per_graph)
+        t3 = _time.time()
+        all_results = aligner.collect_batch(calls)
+        result_iter = all_results.items()
     else:
-        submitted = [
-            (info.store[gid], items, None) for gid, items in per_graph.items()
-        ]
-    for graph, items, handle in submitted:
-        results = (
-            aligner.collect(graph, handle)
-            if handle is not None
-            else aligner.align_read_batch(graph, items)
+        t3 = t2
+        result_iter = (
+            (gid, aligner.align_read_batch(info.store[gid], items))
+            for gid, items in per_graph.items()
         )
+    t4 = _time.time()
+    for _gid, results in result_iter:
         for records, _n in results:
             stats.alignment_count += len(records)
             if bam_writer is not None:
                 for rec in records:
                     bam_writer.write(rec)
+    if _TIMING:
+        t5 = _time.time()
+        log.info(
+            "\ttiming: sketch+query=%.2fs regroup=%.2fs submit=%.2fs "
+            "collect=%.2fs bam=%.2fs calls=%d",
+            t1 - t0, t2 - t1, t3 - t2, t4 - t3, t5 - t4,
+            len(calls) if hasattr(aligner, "submit_batch") else -1,
+        )
 
 
 def prune_graphs(info: Info, min_kmer_coverage: float) -> List[str]:
