@@ -1,33 +1,36 @@
-"""Device-resident hierarchical alignment (aligner v2).
+"""Device-resident hierarchical alignment (aligner v4, pair-major).
 
 Same semantics as groot_tpu.align.aligner (the reference cascade of
 /root/reference/src/graph/alignment.go + graphminion.go), but the entire
-probe cascade runs ON DEVICE and only a ~50-byte winner summary per read
-returns to the host. This matters twice over:
+probe cascade runs ON DEVICE and only a ~50-byte winner summary per
+(read, mapping) pair returns to the host.
 
-  * on real hardware every device->host fetch of match bits costs a full
-    interconnect round trip (the per-graph bits volume is ~100KB x 583
-    graphs x batches); the winner summary is 3 orders of magnitude smaller;
-  * it removes the per-read Python cascade from the hot path.
+Layout history. v2 batched the cascade per graph ([G, R, Mx] padded
+volumes); measured on hardware the padding was the whole cost: a 1024-read
+batch has ~1k real (read, mapping) pairs but the padded volumes carried
+~340k slots, and the stage-2 contained-node probes gathered
+G*R*Mx*Cn*Pb ~ 3.4e9 elements per call (~4.5s/call, ~26 reads/s e2e).
 
-v2.1: calls are batched ACROSS GRAPHS. A read batch seeds ~hundreds of
-graphs; one device call per graph costs hundreds of dispatch+fetch round
-trips per batch (through a tunnelled TPU that alone caps throughput at
-~50 reads/s). Instead graphs are packed into per-shape-signature stacks
-(sig = (Pb, Lb) padded path-matrix shape) resident on device, and each
-call processes G rows of (graph slot, <=RB reads) at once via vmap —
-device calls per read batch drop from ~600 to ~5-15.
+v4 flattens the REAL work into two dense axes and pads only to coarse
+buckets:
 
-Winner summary per (read, graph): success flag, winning mapping index,
-orientation, stage, probe node row + in-node offset, clip counts, and the
-matching-path bitmask. The host reconstructs SAM records from its node
-position tables (start_p = pos_p(node) + offset, alignment.go:294-296) and
-replays increment_subpath for mappings up to the winner.
+  * combo axis C — one entry per (graph, read) with >=1 mapping: the
+    match-volume phase (one-hot paths, 6-variant conv on the MXU, validity
+    gating, NXT suffix-min scan) runs vmapped over combos;
+  * pair axis Np — one entry per (read, mapping): the probe phase reads
+    the combo volumes at seed/contained-node positions via flat gathers
+    ([Np, Cn, Pb] elements total, ~1000x less than v2).
+
+Winner summary per pair: success flag, orientation, stage, probe node row +
+in-node offset, clip counts, and the matching-path bitmask. The host picks
+the first successful mapping per read (mappings are pre-sorted), rebuilds
+SAM records from its node position tables (start_p = pos_p(node) + offset,
+alignment.go:294-296) and replays increment_subpath for mappings up to the
+winner.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 from functools import partial
 from typing import Dict, List, Optional, Tuple
 
@@ -43,7 +46,6 @@ from .aligner import AlignmentRecord, MAX_CLIP, NODE_SHUFFLES, _GraphPack
 INF = np.int32(2**30)
 
 NB = 640        # node-table rows per graph (shared; last row = pad)
-RB = 16         # reads per row
 CN = 160        # contained-node probes per mapping
 MAX_READ = 352  # longest supported read (trailing wildcard pad)
 
@@ -169,297 +171,233 @@ def _bucket(x: int, mults: Tuple[int, ...]) -> int:
     return mults[-1]
 
 
-def _cascade_core(
-    path_codes,      # u8 [Pb, Lb]
-    node_pos,        # i32 [Nb, Pb]
-    node_len,        # i32 [Nb]
-    path_len,        # i32 [Pb]
-    terminal_free,   # bool [Pb]
-    read_codes,      # u8 [R, Lr]
-    read_len,        # i32 [R]
-    map_valid,       # bool [R, Mx]
-    seed_idx,        # i32 [R, Mx] node rank
-    seed_offset,     # i32 [R, Mx]
-    span_limit,      # i32 [R, Mx] mergeSpan + windowSize
-    contained_idx,   # i32 [R, Mx, Cn] node ranks (pad row when absent)
-    n_shuffles: int = NODE_SHUFFLES,
-):
-    """Full cascade for one graph x read-group. Returns per read a packed
-    i32 [R, 8 + Pb] row: (found, win_m, win_ori, win_stage, win_node,
-    win_off, clip_s, clip_e, ids_mask...)."""
-    Pb, Lb = path_codes.shape
-    R, Lr = read_codes.shape
-    Mx = map_valid.shape[1]
-    Cn = contained_idx.shape[2]
-
-    # ---- one-hot path matrix with wildcard rows (N/pad match anything)
-    codes32 = path_codes.astype(jnp.int32)
-    base_oh = (codes32[:, :, None] == jnp.arange(4)[None, None, :])
-    wild = (codes32 == 4)[:, :, None]
-    path_oh = jnp.concatenate(
-        [base_oh | wild, wild], axis=-1
-    ).astype(jnp.bfloat16)  # [Pb, Lb, 5]
-
-    # ---- read kernels: (fwd|rc) x (full|clip_start|clip_end)
-    rc_tab = jnp.asarray(RC_CODE_NP.astype(np.int32))
-    rcodes = read_codes.astype(jnp.int32)
-    valid_pos = jnp.arange(Lr)[None, :] < read_len[:, None]
-    fwd = jnp.where(valid_pos, rcodes, 5)  # 5 = no channel (zero row)
-    # rc: reverse within valid length: index = len-1-j for j < len
-    rev_idx = jnp.clip(read_len[:, None] - 1 - jnp.arange(Lr)[None, :], 0, Lr - 1)
-    rc = jnp.where(valid_pos, rc_tab[jnp.take_along_axis(rcodes, rev_idx, 1)], 5)
-
-    def onehot_read(c):  # [R, Lr] codes -> [R, Lr, 5]
-        return (c[:, :, None] == jnp.arange(5)[None, None, :]).astype(jnp.bfloat16)
-
-    def clip_start(c):  # shift left one: read[1:]
-        shifted = jnp.concatenate([c[:, 1:], jnp.full((R, 1), 5, c.dtype)], axis=1)
-        return shifted
-
-    def clip_end(c):  # zero the last REAL base
-        last = read_len[:, None] - 1
-        return jnp.where(jnp.arange(Lr)[None, :] == last, 5, c)
-
-    kernels = jnp.stack(
-        [
-            onehot_read(fwd),
-            onehot_read(clip_start(fwd)),
-            onehot_read(clip_end(fwd)),
-            onehot_read(rc),
-            onehot_read(clip_start(rc)),
-            onehot_read(clip_end(rc)),
-        ],
-        axis=1,
-    ).reshape(R * 6, Lr, 5)  # [R6, Lr, 5]
-    eff = jnp.stack(
-        [read_len, read_len - 1, read_len - 1] * 2, axis=1
-    ).reshape(R * 6)  # full uses Lr, clips Lr-1 (ori order matches stack)
-
-    counts = jax.lax.conv_general_dilated(
-        path_oh,
-        kernels,
-        window_strides=(1,),
-        padding="VALID",  # trailing wildcard pad in path_codes covers overhang
-        dimension_numbers=("NHC", "OHI", "NHC"),
-        preferred_element_type=jnp.float32,
-    )  # [Pb, W, K]
-    W = Lb - Lr + 1
-    M = (counts == eff[None, None, :].astype(jnp.float32)).transpose(2, 0, 1)
-    M = M.reshape(R, 6, Pb, W)  # [R, 6(variants: f,fs,fe,r,rs,re), Pb, W]
-
-    eff_full = read_len  # [R]
-    eff_clip = read_len - 1
-
-    # ---- bake the offset-dependent validity gates into the full-match
-    # volumes, then build NXT = first valid match offset >= w. Stage-1/2
-    # shuffle loops collapse to single NXT gathers: a path's winning shuffle
-    # from start position b is NXT[p, b] - b (its first valid match), and
-    # the per-stage shuffle bounds become simple comparisons.
-    offs = jnp.arange(W, dtype=jnp.int32)
-
-    def gate_full(m_var, eff_r):  # [R, Pb, W], eff [R] -> gated bool
-        in_path = offs[None, None, :] < path_len[None, :, None]
-        over_ok = (
-            offs[None, None, :] + eff_r[:, None, None] <= path_len[None, :, None]
-        ) | terminal_free[None, :, None]
-        return m_var & in_path & over_ok
-
-    def nxt(m):  # gated [R, Pb, W] -> i32 [R, Pb, W]
-        v = jnp.where(m, offs[None, None, :], INF)
-        return jax.lax.associative_scan(jnp.minimum, v, axis=v.ndim - 1, reverse=True)
-
-    NXT = (
-        nxt(gate_full(M[:, 0], eff_full)),  # fwd full
-        nxt(gate_full(M[:, 3], eff_full)),  # rc full
-    )
-
-    def per_read_mapping(
-        nxt_f, nxt_r, m_cs_f, m_ce_f, m_cs_r, m_ce_r, eff_c, valid_m,
-        s_idx, s_off, s_lim, c_idx,
-    ):
-        """Cascade for ONE (read, mapping); nxt_* [Pb, W], m_* [Pb, W]."""
-        seed_starts = node_pos[s_idx]  # [Pb]
-        seed_len = node_len[s_idx]
-        base = seed_starts + s_off
-        base_safe = jnp.clip(base, 0, W - 1)
-        prow = jnp.arange(Pb)
-
-        def per_ori(nxt_v, m_cs, m_ce):
-            # stage 1: first valid match at/after base, bounded by the
-            # shuffle limit and the seed node length
-            first1 = nxt_v[prow, base_safe] - base  # [Pb]
-            bound1 = jnp.minimum(s_lim, seed_len - 1 - s_off)
-            ok1 = (seed_starts >= 0) & (first1 <= bound1)
-            j1 = jnp.min(jnp.where(ok1, first1, INF))
-            s1_found = j1 < INF
-            ids1 = ok1 & (first1 == j1)
-
-            # stage 2: contained nodes (ascending), shuffles 0..n_shuffles
-            c_starts = node_pos[c_idx]  # [Cn, Pb]
-            c_len = node_len[c_idx]     # [Cn]
-            c_safe = jnp.clip(c_starts, 0, W - 1)
-            first2 = nxt_v[prow[None, :], c_safe] - c_starts  # [Cn, Pb]
-            bound2 = jnp.minimum(n_shuffles, c_len - 1)[:, None]
-            ok2 = (c_starts >= 0) & (first2 <= bound2)
-            prio2 = jnp.where(
-                ok2,
-                jnp.arange(c_idx.shape[0], dtype=jnp.int32)[:, None]
-                * (n_shuffles + 1)
-                + first2,
-                INF,
-            )
-            best2 = jnp.min(prio2)
-            s2_found = best2 < INF
-            c2 = best2 // (n_shuffles + 1)
-            jj2 = best2 % (n_shuffles + 1)
-            ids2 = ok2[c2] & (first2[c2] == jj2)
-
-            # stages 3/4: single clipped probes at the original seed offset
-            def probe_clip(m_var):
-                valid = (
-                    (seed_starts >= 0)
-                    & (s_off < seed_len)
-                    & (base < path_len)
-                )
-                bit = m_var[prow, base_safe]
-                over_ok = (base + eff_c <= path_len) | terminal_free
-                return valid & bit & over_ok
-
-            ok3 = probe_clip(m_cs)
-            s3_found = ok3.any()
-            ok4 = probe_clip(m_ce)
-            s4_found = ok4.any()
-
-            found = s1_found | s2_found | s3_found | s4_found
-            stage = jnp.where(
-                s1_found, 1, jnp.where(s2_found, 2, jnp.where(s3_found, 3, 4))
-            )
-            win_node = jnp.where(s2_found & ~s1_found, c_idx[c2], s_idx)
-            win_off = jnp.where(
-                s1_found,
-                s_off + j1,
-                jnp.where(s2_found, jj2, s_off),
-            )
-            ids = jnp.where(
-                s1_found,
-                ids1,
-                jnp.where(s2_found & ~s1_found, ids2, jnp.where(s3_found, ok3, ok4)),
-            )
-            return found, stage, win_node, win_off, ids
-
-        f0, st0, n0, o0, ids0 = per_ori(nxt_f, m_cs_f, m_ce_f)
-        f1, st1, n1, o1, ids1 = per_ori(nxt_r, m_cs_r, m_ce_r)
-        found = f0 | f1
-        use0 = f0
-        return (
-            found & valid_m,
-            jnp.where(use0, 0, 1),
-            jnp.where(use0, st0, st1),
-            jnp.where(use0, n0, n1),
-            jnp.where(use0, o0, o1),
-            jnp.where(use0[..., None], ids0, ids1),
-        )
-
-    # vmap over mappings then reads (probe tensors are [Cn, Pb] — cheap)
-    vm = jax.vmap(
-        per_read_mapping,
-        in_axes=(None, None, None, None, None, None, None, 0, 0, 0, 0, 0),
-    )
-    vr = jax.vmap(vm)
-    found, ori, stage, node, off, ids = vr(
-        NXT[0],
-        NXT[1],
-        M[:, 1],
-        M[:, 2],
-        M[:, 4],
-        M[:, 5],
-        eff_clip,
-        map_valid,
-        seed_idx,
-        seed_offset,
-        span_limit,
-        contained_idx,
-    )  # each [R, Mx] (+ ids [R, Mx, Pb])
-
-    # first successful mapping wins (mappings are pre-sorted by node/offset)
-    win_m = jnp.argmax(found, axis=1)  # [R]
-    any_found = found.any(axis=1)
-    take = lambda a: jnp.take_along_axis(a, win_m[:, None], axis=1)[:, 0]
-    win_ori = take(ori)
-    win_stage = take(stage)
-    win_node = take(node)
-    win_off = take(off)
-    win_ids = jnp.take_along_axis(ids, win_m[:, None, None], axis=1)[:, 0]
-    clip_s = jnp.where(win_stage == 3, MAX_CLIP, 0)
-    clip_e = jnp.where(win_stage == 4, MAX_CLIP, 0)
-    # pack everything into ONE i32 matrix so the host pays a single fetch:
-    # [R, 8 + Pb] = (found, m, ori, stage, node, off, clip_s, clip_e, ids...)
-    scalars = jnp.stack(
-        [
-            any_found.astype(jnp.int32),
-            win_m.astype(jnp.int32),
-            win_ori.astype(jnp.int32),
-            win_stage.astype(jnp.int32),
-            win_node.astype(jnp.int32),
-            win_off.astype(jnp.int32),
-            clip_s.astype(jnp.int32),
-            clip_e.astype(jnp.int32),
-        ],
-        axis=1,
-    )
-    return jnp.concatenate([scalars, win_ids.astype(jnp.int32)], axis=1)
-
-
 @partial(jax.jit, static_argnames=("n_shuffles",))
-def _device_cascade(*args, n_shuffles: int = NODE_SHUFFLES):
-    """Single-graph cascade (kept for direct use/tests)."""
-    return _cascade_core(*args, n_shuffles=n_shuffles)
-
-
-@partial(jax.jit, static_argnames=("n_shuffles",))
-def _device_cascade_g(
-    stack_codes,     # u8 [Gs, Pb, Lb]   (full signature stack)
+def _pair_cascade(
+    stack_codes,     # u8 [Gs, Pb, Lb]   (full signature stack, resident)
     stack_npos,      # i32 [Gs, Nb, Pb]
     stack_nlen,      # i32 [Gs, Nb]
     stack_plen,      # i32 [Gs, Pb]
     stack_term,      # bool [Gs, Pb]
-    gidx,            # i32 [G] slot per row
-    read_codes,      # u8 [G, R, Lr]
-    read_len,        # i32 [G, R]
-    map_valid,       # bool [G, R, Mx]
-    seed_idx,        # i32 [G, R, Mx]
-    seed_offset,     # i32 [G, R, Mx]
-    span_limit,      # i32 [G, R, Mx]
-    contained_idx,   # i32 [G, R, Mx, Cn]
+    g_idx,           # i32 [C]  graph slot per combo
+    read_codes,      # u8 [C, Lr]
+    read_len,        # i32 [C]
+    pair_combo,      # i32 [Np] combo row per pair
+    pair_valid,      # bool [Np]
+    seed_idx,        # i32 [Np] node rank
+    seed_off,        # i32 [Np]
+    span_lim,        # i32 [Np] mergeSpan + windowSize
+    probe_pair,      # i32 [Nq] pair row per stage-2 probe (real probes only)
+    probe_node,      # i32 [Nq] contained-node rank
+    probe_rank,      # i32 [Nq] ascending-node order within the pair
     n_shuffles: int = NODE_SHUFFLES,
 ):
-    """Graph-batched cascade: one call per (signature, row-chunk) instead of
-    one per graph. Rows gather their graph's arrays from the resident stack."""
+    """Pair-major cascade. Returns packed i32 [Np, 8 + Pb]:
+    (found, 0, ori, stage, node, off, clip_s, clip_e, ids_mask...).
 
-    def row(gi, rc, rl, mv, si, so, sl, ci):
-        return _cascade_core(
-            stack_codes[gi],
-            stack_npos[gi],
-            stack_nlen[gi],
-            stack_plen[gi],
-            stack_term[gi],
-            rc, rl, mv, si, so, sl, ci,
-            n_shuffles=n_shuffles,
+    Stage-2 contained-node probes are FLATTENED to a real-probe axis Nq
+    (one row per (pair, contained node)) instead of a padded [Np, Cn]
+    matrix: contained counts are wildly skewed (p50=1, max~90 on
+    arg-annot.90), so padding Cn cost ~20-40x the gather traffic."""
+    Gs, Pb, Lb = stack_codes.shape
+    Nb = stack_nlen.shape[1]
+    C, Lr = read_codes.shape
+    Np = pair_combo.shape[0]
+    Nq = probe_pair.shape[0]
+    W = Lb - Lr + 1
+
+    # ================= phase A: per-combo match volumes =================
+    path_codes = stack_codes[g_idx]   # [C, Pb, Lb]
+    plen = stack_plen[g_idx]          # [C, Pb]
+    term = stack_term[g_idx]          # [C, Pb]
+
+    codes32 = path_codes.astype(jnp.int32)
+    base_oh = codes32[..., None] == jnp.arange(4)[None, None, None, :]
+    wild = (codes32 == 4)[..., None]
+    path_oh = jnp.concatenate(
+        [base_oh | wild, wild], axis=-1
+    ).astype(jnp.bfloat16)  # [C, Pb, Lb, 5]
+
+    rc_tab = jnp.asarray(RC_CODE_NP.astype(np.int32))
+    rcodes = read_codes.astype(jnp.int32)
+    valid_pos = jnp.arange(Lr)[None, :] < read_len[:, None]
+    fwd = jnp.where(valid_pos, rcodes, 5)  # 5 = no channel (zero row)
+    rev_idx = jnp.clip(read_len[:, None] - 1 - jnp.arange(Lr)[None, :], 0, Lr - 1)
+    rc = jnp.where(valid_pos, rc_tab[jnp.take_along_axis(rcodes, rev_idx, 1)], 5)
+
+    def onehot(c):  # [C, Lr] codes -> [C, Lr, 5]
+        return (c[..., None] == jnp.arange(5)[None, None, :]).astype(jnp.bfloat16)
+
+    def clip_start(c):  # shift left one: read[1:]
+        return jnp.concatenate([c[:, 1:], jnp.full((C, 1), 5, c.dtype)], axis=1)
+
+    def clip_end(c):  # zero the last REAL base
+        return jnp.where(jnp.arange(Lr)[None, :] == read_len[:, None] - 1, 5, c)
+
+    kernels = jnp.stack(
+        [
+            onehot(fwd),
+            onehot(clip_start(fwd)),
+            onehot(clip_end(fwd)),
+            onehot(rc),
+            onehot(clip_start(rc)),
+            onehot(clip_end(rc)),
+        ],
+        axis=1,
+    )  # [C, 6, Lr, 5]
+    eff = jnp.stack([read_len, read_len - 1, read_len - 1] * 2, axis=1)  # [C, 6]
+
+    def one_conv(oh, ker):  # [Pb, Lb, 5] x [6, Lr, 5] -> [Pb, W, 6]
+        return jax.lax.conv_general_dilated(
+            oh, ker, (1,), "VALID",
+            dimension_numbers=("NHC", "OHI", "NHC"),
+            preferred_element_type=jnp.float32,
         )
 
-    return jax.vmap(row)(
-        gidx, read_codes, read_len, map_valid, seed_idx, seed_offset,
-        span_limit, contained_idx,
+    counts = jax.vmap(one_conv)(path_oh, kernels)  # [C, Pb, W, 6]
+    M = counts == eff[:, None, None, :].astype(jnp.float32)
+
+    offs = jnp.arange(W, dtype=jnp.int32)
+    in_path = offs[None, None, :] < plen[..., None]
+
+    def gate_full(v, e):  # [C, Pb, W], eff [C]
+        over_ok = (
+            offs[None, None, :] + e[:, None, None] <= plen[..., None]
+        ) | term[..., None]
+        return v & in_path & over_ok
+
+    def nxt(m):  # gated bool [C, Pb, W] -> first valid match offset >= w
+        v = jnp.where(m, offs[None, None, :], INF)
+        return jax.lax.associative_scan(jnp.minimum, v, axis=2, reverse=True)
+
+    NXT_f = nxt(gate_full(M[..., 0], read_len))
+    NXT_r = nxt(gate_full(M[..., 3], read_len))
+
+    nf, nr = NXT_f.reshape(-1), NXT_r.reshape(-1)
+    mcsf, mcef = M[..., 1].reshape(-1), M[..., 2].reshape(-1)
+    mcsr, mcer = M[..., 4].reshape(-1), M[..., 5].reshape(-1)
+    npos_flat = stack_npos.reshape(-1)
+    nlen_flat = stack_nlen.reshape(-1)
+
+    # ================= phase B: per-pair probes (flat gathers) ==========
+    pg = g_idx[pair_combo]                      # [Np] graph slot
+    prow = jnp.arange(Pb, dtype=jnp.int32)
+
+    srow = pg * Nb + seed_idx                   # [Np]
+    seed_starts = npos_flat[srow[:, None] * Pb + prow[None, :]]  # [Np, Pb]
+    seed_len = nlen_flat[srow]                  # [Np]
+    base = seed_starts + seed_off[:, None]
+    base_safe = jnp.clip(base, 0, W - 1)
+    flat1 = (pair_combo[:, None] * Pb + prow[None, :]) * W + base_safe
+
+    p_plen = plen[pair_combo]                   # [Np, Pb]
+    p_term = term[pair_combo]
+    p_effc = read_len[pair_combo] - 1           # [Np] clipped length
+
+    crow = pg[probe_pair] * Nb + probe_node     # [Nq]
+    c_starts = npos_flat[crow[:, None] * Pb + prow[None, :]]  # [Nq, Pb]
+    c_len = nlen_flat[crow]                     # [Nq]
+    c_safe = jnp.clip(c_starts, 0, W - 1)
+    flat2 = (pair_combo[probe_pair][:, None] * Pb + prow[None, :]) * W + c_safe
+
+    q_iota = jnp.arange(Nq, dtype=jnp.int32)
+
+    def per_ori(nxt_flat, mcs_flat, mce_flat):
+        # stage 1: first valid match at/after base, bounded by the shuffle
+        # limit and the seed node length (alignment.go:36-45)
+        first1 = nxt_flat[flat1] - base                      # [Np, Pb]
+        bound1 = jnp.minimum(span_lim, seed_len - 1 - seed_off)[:, None]
+        ok1 = (seed_starts >= 0) & (first1 <= bound1)
+        j1 = jnp.min(jnp.where(ok1, first1, INF), axis=1)    # [Np]
+        s1 = j1 < INF
+        ids1 = ok1 & (first1 == j1[:, None])
+
+        # stage 2: contained nodes (ascending), shuffles 0..n_shuffles
+        # (alignment.go:48-70); priority = (node order, shuffle), winner
+        # probe row recovered from the low bits of the segment-min value
+        first2 = nxt_flat[flat2] - c_starts                  # [Nq, Pb]
+        bound2 = jnp.minimum(n_shuffles, c_len - 1)[:, None]
+        ok2 = (c_starts >= 0) & (first2 <= bound2)
+        prio_q = jnp.min(
+            jnp.where(ok2, probe_rank[:, None] * (n_shuffles + 1) + first2, INF),
+            axis=1,
+        )  # [Nq]
+        val = jnp.where(prio_q < INF, (prio_q << 15) | q_iota, INF)
+        best2 = jax.ops.segment_min(
+            val, probe_pair, num_segments=Np, indices_are_sorted=True
+        )  # [Np]
+        s2 = best2 < INF
+        prio_w = best2 >> 15
+        jj2 = prio_w % (n_shuffles + 1)
+        q_w = jnp.clip(best2 & 32767, 0, Nq - 1)
+        ok2_w = ok2[q_w]                                     # [Np, Pb]
+        first2_w = first2[q_w]
+        ids2 = ok2_w & (first2_w == jj2[:, None])
+        win_cn = probe_node[q_w]                             # [Np]
+
+        # stages 3/4: single clipped probes at the original seed offset
+        # (alignment.go:73-103)
+        def probe_clip(m_flat):
+            valid = (
+                (seed_starts >= 0)
+                & (seed_off[:, None] < seed_len[:, None])
+                & (base < p_plen)
+            )
+            bit = m_flat[flat1]
+            over_ok = (base + p_effc[:, None] <= p_plen) | p_term
+            return valid & bit & over_ok
+
+        ok3 = probe_clip(mcs_flat)
+        s3 = ok3.any(axis=1)
+        ok4 = probe_clip(mce_flat)
+        s4 = ok4.any(axis=1)
+
+        found = s1 | s2 | s3 | s4
+        stage = jnp.where(s1, 1, jnp.where(s2, 2, jnp.where(s3, 3, 4)))
+        win_node = jnp.where(s2 & ~s1, win_cn, seed_idx)
+        win_off = jnp.where(s1, seed_off + j1, jnp.where(s2, jj2, seed_off))
+        ids = jnp.where(
+            s1[:, None],
+            ids1,
+            jnp.where(
+                (s2 & ~s1)[:, None],
+                ids2,
+                jnp.where(s3[:, None], ok3, ok4),
+            ),
+        )
+        return found, stage, win_node, win_off, ids
+
+    f0, st0, n0, o0, ids0 = per_ori(nf, mcsf, mcef)
+    f1, st1, n1, o1, ids1 = per_ori(nr, mcsr, mcer)
+    found = (f0 | f1) & pair_valid
+    use0 = f0  # forward orientation tried first (graphminion.go:76-98)
+    stage = jnp.where(use0, st0, st1)
+    scalars = jnp.stack(
+        [
+            found.astype(jnp.int32),
+            jnp.zeros_like(stage, dtype=jnp.int32),
+            jnp.where(use0, 0, 1),
+            stage,
+            jnp.where(use0, n0, n1).astype(jnp.int32),
+            jnp.where(use0, o0, o1).astype(jnp.int32),
+            jnp.where(stage == 3, MAX_CLIP, 0),
+            jnp.where(stage == 4, MAX_CLIP, 0),
+        ],
+        axis=1,
     )
+    ids = jnp.where(use0[:, None], ids0, ids1)
+    return jnp.concatenate([scalars, ids.astype(jnp.int32)], axis=1)
 
 
 class DeviceAligner:
     """Drop-in alternative to GraphAligner with the cascade on device."""
 
     # coarse buckets: every static dim combination is one XLA compile, and
-    # remote (tunnelled) compiles cost tens of seconds each
-    G_BUCKETS = (8, 32, 128)
-    M_BUCKETS = (16, 64)
+    # remote (tunnelled) compiles cost tens of seconds each. Np/Nq are TIED
+    # to the combo bucket (small call -> small pair/probe axes) so each
+    # (sig, C) pair is at most a couple of compiles.
+    C_BUCKETS = (32, 128, 512)     # combos (graph x read) per call
+    NP_FOR_C = {32: 128, 128: 1024, 512: 2048}
+    NQ_FOR_C = {128: 2048, 1024: 16384, 2048: 32768}  # keyed by Np
 
     MEM_BUDGET = 4 * 1024 * 1024 * 1024  # transient HBM per call
 
@@ -503,101 +441,149 @@ class DeviceAligner:
             hg.slot = stack.add(graph.graph_id, hg)
         return hg
 
+    def _combo_cap(self, sig) -> int:
+        """Largest combo bucket whose transient volumes fit MEM_BUDGET.
+        Per combo: one-hot bf16 [Pb, Lb, 5] + counts f32 [Pb, W, 6] + match
+        bools + two i32 NXT volumes ~= Pb*Lb*48 bytes."""
+        Pb, Lb, Nb = sig
+        per_combo = Pb * Lb * 48
+        cap = self.C_BUCKETS[0]
+        for b in self.C_BUCKETS:
+            if b * per_combo <= self.MEM_BUDGET:
+                cap = b
+        return cap
+
     # ------------------------------------------------------------------
     # batch-level API: one submit for ALL graphs seeded by a read batch
     # ------------------------------------------------------------------
     def submit_batch(self, per_graph: Dict[int, List[Tuple[FastqRead, List, float]]]):
         """Launch the cascade for every (graph, items) group in as few
         device calls as possible. Returns an opaque handle for collect."""
-        # build rows: (hg, items_chunk, graph_id, item_offset)
-        rows_by_sig: Dict[Tuple[int, int, int], List] = {}
+        items_by_sig: Dict[Tuple[int, int, int], List] = {}
         for gid, items in per_graph.items():
             hg = self.graph_dev(self.store[gid])
-            rows = rows_by_sig.setdefault(hg.sig, [])
-            for i in range(0, len(items), RB):
-                rows.append((hg, items[i : i + RB], gid, i))
+            dst = items_by_sig.setdefault(hg.sig, [])
+            for item in items:
+                dst.append((hg, gid, item))
 
         calls = []
-        for sig, rows in rows_by_sig.items():
-            Pb, Lb, Nb = sig
+        for sig, sig_items in items_by_sig.items():
+            c_cap = self._combo_cap(sig)
+            p_cap = self.NP_FOR_C[c_cap]
+            q_cap = self.NQ_FOR_C[p_cap]
             stack = self._stacks[sig]
             dev = stack.device()
-            # per-row transient HBM: conv counts f32 [Pb, W, RB*6] + match
-            # volume + two i32 NXT volumes
-            per_row = RB * Pb * Lb * (6 * 5 + 2 * 4)
-            g_max = self.G_BUCKETS[0]
-            for b in self.G_BUCKETS:
-                if b * per_row <= self.MEM_BUDGET:
-                    g_max = b
-            Lr_max = max(
-                len(it[0].seq) for _, chunk, _, _ in rows for it in chunk
-            )
-            Lr = -(-max(Lr_max, 32) // 32) * 32
-            for i in range(0, len(rows), g_max):
-                chunk_rows = rows[i : i + g_max]
-                calls.append(
-                    (chunk_rows, self._submit_rows(stack, dev, chunk_rows, Lr))
+            chunk: List = []
+            n_pairs = 0
+            n_probes = 0
+            for entry in sig_items:
+                mappings = entry[2][1]
+                npair = max(len(mappings), 1)
+                nq = sum(
+                    min(len(m.contained_nodes), CN) for m in mappings
                 )
+                if chunk and (
+                    len(chunk) + 1 > c_cap
+                    or n_pairs + npair > p_cap
+                    or n_probes + nq > q_cap
+                ):
+                    calls.append(self._submit_chunk(stack, dev, chunk, c_cap))
+                    chunk, n_pairs, n_probes = [], 0, 0
+                chunk.append(entry)
+                n_pairs += npair
+                n_probes += nq
+            if chunk:
+                calls.append(self._submit_chunk(stack, dev, chunk, c_cap))
         return calls
 
     def collect_batch(self, calls):
         """Fetch all results; returns {graph_id: [(records, n_weighted), ...]}
         in the per-graph item order."""
         out: Dict[int, List[Tuple[List[AlignmentRecord], int]]] = {}
-        for chunk_rows, dev_out in calls:
-            packed = np.asarray(dev_out)  # [G, R, 8+Pb]
-            for g, (hg, items, gid, _off) in enumerate(chunk_rows):
+        for meta, dev_out in calls:
+            packed = np.asarray(dev_out)  # [Np, 8 + Pb]
+            for hg, gid, (read, mappings, kc), p0 in meta:
                 graph = self.store[gid]
-                res = self._collect_row(graph, hg, items, packed[g])
-                out.setdefault(gid, []).extend(res)
+                res = self._collect_item(
+                    graph, hg, read, mappings, kc, packed[p0 : p0 + len(mappings)]
+                )
+                out.setdefault(gid, []).append(res)
         return out
 
-    def _submit_rows(self, stack: _SigStack, dev, rows, Lr: int):
+    def _submit_chunk(self, stack: _SigStack, dev, chunk, c_cap: int):
+        """One device call for <=c_cap items (combos) of one signature."""
         Pb, Lb, Nb = stack.sig
-        G = _bucket(len(rows), self.G_BUCKETS)
-        Mx = _bucket(
-            max((len(it[1]) for _, chunk, _, _ in rows for it in chunk), default=1),
-            self.M_BUCKETS,
+        C = _bucket(
+            len(chunk), self.C_BUCKETS[: self.C_BUCKETS.index(c_cap) + 1]
         )
+        total_pairs = sum(len(e[2][1]) for e in chunk)
+        Np = max(self.NP_FOR_C[C], _bucket(total_pairs, tuple(self.NP_FOR_C.values())))
+        total_probes = sum(
+            min(len(m.contained_nodes), CN) for e in chunk for m in e[2][1]
+        )
+        Nq = max(
+            self.NQ_FOR_C[Np],
+            _bucket(total_probes, tuple(self.NQ_FOR_C.values())),
+        )
+        Lr_max = max(len(e[2][0].seq) for e in chunk)
+        Lr = -(-max(Lr_max, 32) // 32) * 32
         pad_node = Nb - 1
-        gidx = np.zeros(G, dtype=np.int32)
-        read_codes = np.full((G, RB, Lr), 4, dtype=np.uint8)
-        read_len = np.zeros((G, RB), dtype=np.int32)
-        map_valid = np.zeros((G, RB, Mx), dtype=bool)
-        seed_idx = np.full((G, RB, Mx), pad_node, dtype=np.int32)
-        seed_offset = np.zeros((G, RB, Mx), dtype=np.int32)
-        span_limit = np.full((G, RB, Mx), -1, dtype=np.int32)
-        contained_idx = np.full((G, RB, Mx, CN), pad_node, dtype=np.int32)
-        for g, (hg, items, _gid, _off) in enumerate(rows):
-            gidx[g] = hg.slot
-            for r, (read, mappings, _kc) in enumerate(items):
-                codes = ASCII_TO_CODE[np.frombuffer(read.seq, np.uint8)]
-                read_codes[g, r, : len(codes)] = codes
-                read_len[g, r] = len(codes)
-                for m, mapping in enumerate(mappings[:Mx]):
-                    map_valid[g, r, m] = True
-                    s_rank, s_lim, c_ranks, _w = hg.mapping_params(mapping)
-                    seed_idx[g, r, m] = s_rank
-                    seed_offset[g, r, m] = mapping.offset
-                    span_limit[g, r, m] = s_lim
-                    contained_idx[g, r, m, : len(c_ranks)] = c_ranks
 
-        out = _device_cascade_g(
+        g_idx = np.zeros(C, dtype=np.int32)
+        read_codes = np.full((C, Lr), 4, dtype=np.uint8)
+        read_len = np.zeros(C, dtype=np.int32)
+        pair_combo = np.zeros(Np, dtype=np.int32)
+        pair_valid = np.zeros(Np, dtype=bool)
+        seed_idx = np.full(Np, pad_node, dtype=np.int32)
+        seed_off = np.zeros(Np, dtype=np.int32)
+        span_lim = np.full(Np, -1, dtype=np.int32)
+        # padding probes point at the pad node of combo 0: never match
+        probe_pair = np.full(Nq, Np - 1, dtype=np.int32)
+        probe_node = np.full(Nq, pad_node, dtype=np.int32)
+        probe_rank = np.zeros(Nq, dtype=np.int32)
+
+        meta = []
+        p = 0
+        q = 0
+        for c, (hg, gid, (read, mappings, kc)) in enumerate(chunk):
+            g_idx[c] = hg.slot
+            codes = ASCII_TO_CODE[np.frombuffer(read.seq, np.uint8)]
+            read_codes[c, : len(codes)] = codes
+            read_len[c] = len(codes)
+            meta.append((hg, gid, (read, mappings, kc), p))
+            for mapping in mappings[:Np - p]:
+                s_rank, s_lim, c_ranks, _w = hg.mapping_params(mapping)
+                pair_combo[p] = c
+                pair_valid[p] = True
+                seed_idx[p] = s_rank
+                seed_off[p] = mapping.offset
+                span_lim[p] = s_lim
+                ncn = min(len(c_ranks), Nq - q)
+                probe_pair[q : q + ncn] = p
+                probe_node[q : q + ncn] = c_ranks[:ncn]
+                probe_rank[q : q + ncn] = np.arange(ncn, dtype=np.int32)
+                q += ncn
+                p += 1
+
+        out = _pair_cascade(
             *dev,
-            jnp.asarray(gidx),
+            jnp.asarray(g_idx),
             jnp.asarray(read_codes),
             jnp.asarray(read_len),
-            jnp.asarray(map_valid),
+            jnp.asarray(pair_combo),
+            jnp.asarray(pair_valid),
             jnp.asarray(seed_idx),
-            jnp.asarray(seed_offset),
-            jnp.asarray(span_limit),
-            jnp.asarray(contained_idx),
+            jnp.asarray(seed_off),
+            jnp.asarray(span_lim),
+            jnp.asarray(probe_pair),
+            jnp.asarray(probe_node),
+            jnp.asarray(probe_rank),
         )
         try:
             out.copy_to_host_async()  # overlap D2H with later dispatches
         except AttributeError:
             pass
-        return out
+        return meta, out
 
     # ------------------------------------------------------------------
     # single-graph API (tests / host-aligner drop-in)
@@ -610,53 +596,37 @@ class DeviceAligner:
         self.flush_weights()  # single-graph API weights eagerly
         return out
 
-    def _collect_row(
-        self, graph, hg: _HostGraph, items, packed
-    ) -> List[Tuple[List[AlignmentRecord], int]]:
+    def _collect_item(
+        self, graph, hg: _HostGraph, read, mappings, kmer_count, packed
+    ) -> Tuple[List[AlignmentRecord], int]:
+        """Winner = first successful mapping (mappings are pre-sorted,
+        graphminion.go:57); weight replay covers mappings up to the winner
+        inclusive (the reference weights each mapping as it tries it)."""
         found = packed[:, 0].astype(bool)
-        win_m = packed[:, 1]
-        win_ori = packed[:, 2]
-        win_node = packed[:, 4]
-        win_off = packed[:, 5]
-        clip_s = packed[:, 6]
-        clip_e = packed[:, 7]
-        win_ids = packed[:, 8:]
+        win = int(np.argmax(found)) if found.any() else -1
+        n_weighted = win + 1 if win >= 0 else len(mappings)
+        n_weighted = min(n_weighted, len(mappings))
 
-        results: List[Tuple[List[AlignmentRecord], int]] = []
-        gp = hg.gp
         gid = graph.graph_id
         kf = self._kf_acc.get(gid)
         if kf is None:
             kf = self._kf_acc[gid] = np.zeros(len(hg.node_ids), np.float64)
             self._kt_acc[gid] = 0.0
-        for r, (read, mappings, kmer_count) in enumerate(items):
-            n_weighted = (
-                int(win_m[r]) + 1 if found[r] else len(mappings)
+        for mapping in mappings[:n_weighted]:
+            _s, _l, _c, (w_ranks, shares, multi) = hg.mapping_params(mapping)
+            kf[w_ranks] += shares * kmer_count
+            if multi:
+                self._kt_acc[gid] += float(int(kmer_count))
+
+        records: List[AlignmentRecord] = []
+        if win >= 0:
+            row = packed[win]
+            records = self._build_records(
+                graph, hg.gp, hg, read,
+                int(row[2]), int(row[4]), int(row[5]),
+                int(row[6]), int(row[7]), row[8:],
             )
-            n_weighted = min(n_weighted, len(mappings))
-            for mapping in mappings[:n_weighted]:
-                _s, _l, _c, (w_ranks, shares, multi) = hg.mapping_params(
-                    mapping
-                )
-                kf[w_ranks] += shares * kmer_count
-                if multi:
-                    self._kt_acc[gid] += float(int(kmer_count))
-            records: List[AlignmentRecord] = []
-            if found[r]:
-                records = self._build_records(
-                    graph,
-                    gp,
-                    hg,
-                    read,
-                    int(win_ori[r]),
-                    int(win_node[r]),
-                    int(win_off[r]),
-                    int(clip_s[r]),
-                    int(clip_e[r]),
-                    win_ids[r],
-                )
-            results.append((records, n_weighted))
-        return results
+        return records, n_weighted
 
     def _build_records(
         self, graph, gp, hg, read, ori, node_rank, o_node, cs, ce, ids_mask

@@ -156,12 +156,22 @@ def run_align(
     references = None
     if not no_align:
         references = bamio.build_references(info.store)
+        # backend-aware cascade choice: the device cascade is built for the
+        # TPU (MXU conv + flat gathers); on CPU XLA it is slower than the
+        # vectorized numpy host cascade, so CPU runs use that by default.
+        import jax
+
+        use_device = jax.default_backend() not in ("cpu",)
         if os.environ.get("GROOT_HOST_ALIGNER"):
-            aligner = GraphAligner(info.store, references)
-        else:
+            use_device = False
+        elif os.environ.get("GROOT_DEVICE_ALIGNER"):
+            use_device = True
+        if use_device:
             from ..align.device_cascade import DeviceAligner
 
             aligner = DeviceAligner(info.store, references)
+        else:
+            aligner = GraphAligner(info.store, references)
 
     # fast path: plain/gzip FASTQ files through the native scanner; FASTA or
     # STDIN fall back to the Python streamer

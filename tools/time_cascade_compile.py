@@ -1,4 +1,4 @@
-"""Measure compile+run time of _device_cascade_g per (sig, G, Mx) on TPU."""
+"""Measure compile+run time of _pair_cascade per (sig, C, Np) on TPU."""
 import sys, time
 
 sys.path.insert(0, "/root/repo")
@@ -6,9 +6,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from groot_tpu.align.device_cascade import _device_cascade_g, RB, CN
+from groot_tpu.align.device_cascade import _pair_cascade, CN
 
-def one(Gs, Pb, Lb, Nb, G, Mx, Lr=160):
+
+def one(Gs, Pb, Lb, Nb, C, Np, Lr=160):
     rng = np.random.default_rng(0)
     dev = (
         jnp.asarray(rng.integers(0, 5, (Gs, Pb, Lb), dtype=np.uint8)),
@@ -18,32 +19,34 @@ def one(Gs, Pb, Lb, Nb, G, Mx, Lr=160):
         jnp.asarray(np.zeros((Gs, Pb), bool)),
     )
     args = (
-        jnp.asarray(np.zeros(G, np.int32)),
-        jnp.asarray(rng.integers(0, 4, (G, RB, Lr), dtype=np.uint8)),
-        jnp.asarray(np.full((G, RB), Lr, np.int32)),
-        jnp.asarray(np.zeros((G, RB, Mx), bool)),
-        jnp.asarray(np.full((G, RB, Mx), Nb - 1, np.int32)),
-        jnp.asarray(np.zeros((G, RB, Mx), np.int32)),
-        jnp.asarray(np.full((G, RB, Mx), -1, np.int32)),
-        jnp.asarray(np.full((G, RB, Mx, CN), Nb - 1, np.int32)),
+        jnp.asarray(np.zeros(C, np.int32)),
+        jnp.asarray(rng.integers(0, 4, (C, Lr), dtype=np.uint8)),
+        jnp.asarray(np.full(C, Lr, np.int32)),
+        jnp.asarray(np.zeros(Np, np.int32)),
+        jnp.asarray(np.ones(Np, bool)),
+        jnp.asarray(rng.integers(0, Nb, Np).astype(np.int32)),
+        jnp.asarray(np.zeros(Np, np.int32)),
+        jnp.asarray(np.full(Np, 180, np.int32)),
+        jnp.asarray(rng.integers(0, Nb, (Np, CN)).astype(np.int32)),
     )
     t0 = time.time()
-    out = _device_cascade_g(*dev, *args)
-    out.block_until_ready()
+    out = _pair_cascade(*dev, *args)
+    _ = np.asarray(out)
     t_compile = time.time() - t0
     t0 = time.time()
-    for _ in range(3):
-        out = _device_cascade_g(*dev, *args)
-    out.block_until_ready()
-    t_run = (time.time() - t0) / 3
-    print(f"sig=({Pb},{Lb},{Nb}) Gs={Gs} G={G} Mx={Mx}: "
-          f"compile+first={t_compile:.1f}s run={t_run*1000:.1f}ms", flush=True)
+    n = 3
+    for _ in range(n):
+        out = _pair_cascade(*dev, *args)
+        _ = np.asarray(out)
+    t_run = (time.time() - t0) / n
+    print(
+        f"sig=({Pb},{Lb},{Nb}) Gs={Gs} C={C} Np={Np}: "
+        f"compile+first={t_compile:.1f}s run={t_run*1000:.1f}ms",
+        flush=True,
+    )
+
 
 if __name__ == "__main__":
-    Gs = 32
-    for (Pb, Lb, G, Mx) in [
-        (16, 2048, 8, 16),
-        (16, 2048, 32, 16),
-        (16, 2048, 128, 16),
-    ]:
-        one(Gs, Pb, Lb, 640, G, Mx)
+    one(394, 16, 2048, 640, 512, 2048)
+    one(151, 16, 1024, 640, 512, 2048)
+    one(4, 256, 2048, 640, 32, 128)
