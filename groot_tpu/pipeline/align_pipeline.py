@@ -36,14 +36,18 @@ DEFAULT_BATCH = 2048
 
 class ReadBatch:
     """A padded uint8 code batch; FastqRead records materialise lazily (only
-    mapped reads ever need their id/qual bytes)."""
+    mapped reads ever need their id/qual bytes). Native-path batches may be
+    stitched from several scanner segments (``segs``); ``n_valid`` < n rows
+    marks shape-stabilising padding appended by the pipeline."""
 
-    def __init__(self, codes, lengths, reads=None, buf=None, offsets=None):
+    def __init__(self, codes, lengths, reads=None, segs=None, n_valid=None):
         self.codes = codes      # u8 [B, L]
         self.lengths = lengths  # i32 [B]
+        self.n_valid = codes.shape[0] if n_valid is None else n_valid
         self._reads = reads
-        self._buf = buf
-        self._offsets = offsets  # (id_off, id_len, seq_off, seq_len, q_off, q_len)
+        self._segs = segs       # [(buf, (io, il, so, sl, qo, ql)), ...]
+        if segs is not None:
+            self._seg_ends = np.cumsum([len(s[1][0]) for s in segs])
 
     @property
     def n(self) -> int:
@@ -52,12 +56,14 @@ class ReadBatch:
     def read(self, i: int) -> FastqRead:
         if self._reads is not None:
             return self._reads[i]
-        io_, il, so, sl, qo, ql = self._offsets
-        b = self._buf
+        s = int(np.searchsorted(self._seg_ends, i, side="right"))
+        base = 0 if s == 0 else int(self._seg_ends[s - 1])
+        b, (io_, il, so, sl, qo, ql) = self._segs[s]
+        j = i - base
         return FastqRead(
-            id=b[io_[i] : io_[i] + il[i]],
-            seq=b[so[i] : so[i] + sl[i]],
-            qual=b[qo[i] : qo[i] + ql[i]],
+            id=b[io_[j] : io_[j] + il[j]],
+            seq=b[so[j] : so[j] + sl[j]],
+            qual=b[qo[j] : qo[j] + ql[j]],
         )
 
 
@@ -86,16 +92,51 @@ def _make_batch(reads: List[FastqRead]) -> ReadBatch:
     return ReadBatch(codes=codes, lengths=lengths, reads=reads)
 
 
+def _batch_from_segs(segs) -> ReadBatch:
+    from ..io import native
+
+    max_len = max(int(s[1][3].max()) for s in segs)
+    L = int(math.ceil(max(max_len, 32) / 32) * 32)
+    codes = np.concatenate(
+        [native.encode_batch(b, a[2], a[3], L) for b, a in segs]
+    )
+    lengths = np.concatenate([a[3] for _, a in segs]).astype(np.int32)
+    return ReadBatch(codes=codes, lengths=lengths, segs=segs)
+
+
 def batch_reads_native(
     paths: List[str], batch_size: int = DEFAULT_BATCH
 ) -> Iterator[ReadBatch]:
     """Chunked FASTQ ingest through the native scanner (io.native): file ->
-    record offsets -> padded code matrix, no per-read Python objects."""
+    record offsets -> padded code matrix, no per-read Python objects.
+    Records carry over between scanner chunks (and input files) so every
+    batch except the last is exactly batch_size — uniform device shapes."""
     import gzip
 
     from ..io import native
 
     chunk_bytes = max(batch_size * 512, 1 << 20)
+    pend: List = []  # [(buf, (io, il, so, sl, qo, ql))]
+    pend_n = 0
+
+    def drain():
+        nonlocal pend, pend_n
+        while pend_n >= batch_size:
+            segs, need = [], batch_size
+            while need:
+                buf, arrs = pend[0]
+                cnt = len(arrs[0])
+                if cnt <= need:
+                    segs.append((buf, arrs))
+                    pend.pop(0)
+                    need -= cnt
+                else:
+                    segs.append((buf, tuple(a[:need] for a in arrs)))
+                    pend[0] = (buf, tuple(a[need:] for a in arrs))
+                    need = 0
+            pend_n -= batch_size
+            yield _batch_from_segs(segs)
+
     for path in paths:
         opener = gzip.open if path.endswith(".gz") else open
         with opener(path, "rb") as fh:
@@ -112,21 +153,13 @@ def batch_reads_native(
                     leftover = buf
                     continue
                 leftover = buf[consumed:]
-                for i in range(0, len(io_), batch_size):
-                    j = min(i + batch_size, len(io_))
-                    sl_b = sl[i:j]
-                    L = int(math.ceil(max(int(sl_b.max()), 32) / 32) * 32)
-                    codes = native.encode_batch(buf, so[i:j], sl_b, L)
-                    yield ReadBatch(
-                        codes=codes,
-                        lengths=sl_b.astype(np.int32),
-                        buf=buf,
-                        offsets=(
-                            io_[i:j], il[i:j], so[i:j], sl_b, qo[i:j], ql[i:j]
-                        ),
-                    )
+                pend.append((buf, (io_, il, so, sl, qo, ql)))
+                pend_n += len(io_)
+                yield from drain()
                 if not chunk:
                     break
+    if pend_n:
+        yield _batch_from_segs(pend)
 
 
 @dataclass
@@ -193,8 +226,10 @@ def run_align(
 
     t_start = _time.time()
     for batch in batches:
-        raw_count += batch.n
-        length_total += int(batch.lengths.sum())
+        raw_count += batch.n_valid
+        length_total += int(batch.lengths[: batch.n_valid].sum())
+        if batch.n < batch_size:
+            _pad_batch(batch, batch_size, k)
         _process_batch(info, batch, aligner, bam_writer, stats, k, s, t)
         log.info(
             "\tprocessed %d reads (%.0f reads/s)",
@@ -236,11 +271,26 @@ def run_align(
 _TIMING = os.environ.get("GROOT_TIMING", "")
 
 
+def _pad_batch(batch: ReadBatch, batch_size: int, k: int) -> None:
+    """Pad the (final, partial) batch to the fixed batch_size so the device
+    pipeline sees one shape for every batch; pad rows are all-N reads of
+    length k whose results are discarded (n_valid)."""
+    n, L = batch.codes.shape
+    codes = np.full((batch_size, L), 4, dtype=np.uint8)
+    codes[:n] = batch.codes
+    # pad length = the longest real read, NOT k: the LSH band config is
+    # chosen from the batch-min k-mer count (lshe.query_batch), so a short
+    # pad row would flip K for every real read in the batch
+    lengths = np.full(batch_size, max(int(batch.lengths.max()), k), np.int32)
+    lengths[:n] = batch.lengths
+    batch.codes, batch.lengths, batch.n_valid = codes, lengths, n
+
+
 def _process_batch(info, batch, aligner, bam_writer, stats, k, s, t):
     import time as _time
 
-    if (batch.lengths < k).any():
-        short = int(batch.lengths.min())
+    if (batch.lengths[: batch.n_valid] < k).any():
+        short = int(batch.lengths[: batch.n_valid].min())
         raise ValueError(
             f"sequence length ({short}) is short than k-mer length ({k})"
         )
@@ -258,7 +308,7 @@ def _process_batch(info, batch, aligner, bam_writer, stats, k, s, t):
     # boss.go:122-131 become a batch dimension); unmapped reads never
     # materialise FastqRead objects
     per_graph: Dict[int, List] = {}
-    for i, res in enumerate(results):
+    for i, res in enumerate(results[: batch.n_valid]):
         stats.received += 1
         if not res:
             continue
