@@ -204,8 +204,16 @@ def _pair_cascade(
     Np = pair_combo.shape[0]
     Nq = probe_pair.shape[0]
     W = Lb - Lr + 1
+    DB = 128                 # window-position block for the banded matmul
+    nb = -(-W // DB)
+    Wp = nb * DB             # padded position axis (flat-index stride)
+    T = Lr + DB - 1          # path window feeding one block
 
     # ================= phase A: per-combo match volumes =================
+    # The naive formulation (vmap of conv_general with per-combo kernels)
+    # lowers to a non-MXU direct fusion on TPU (~1.8 TF/s); instead the
+    # sliding exact-match count is a banded matmul: per position block,
+    # counts[c,p,d,v] = <path_oh window, band(read kernels)> on the MXU.
     path_codes = stack_codes[g_idx]   # [C, Pb, Lb]
     plen = stack_plen[g_idx]          # [C, Pb]
     term = stack_term[g_idx]          # [C, Pb]
@@ -216,6 +224,10 @@ def _pair_cascade(
     path_oh = jnp.concatenate(
         [base_oh | wild, wild], axis=-1
     ).astype(jnp.bfloat16)  # [C, Pb, Lb, 5]
+    pad_cols = Wp + Lr - 1 - Lb
+    if pad_cols > 0:
+        # pad positions are gated off below (pos >= plen), value irrelevant
+        path_oh = jnp.pad(path_oh, ((0, 0), (0, 0), (0, pad_cols), (0, 0)))
 
     rc_tab = jnp.asarray(RC_CODE_NP.astype(np.int32))
     rcodes = read_codes.astype(jnp.int32)
@@ -246,35 +258,65 @@ def _pair_cascade(
     )  # [C, 6, Lr, 5]
     eff = jnp.stack([read_len, read_len - 1, read_len - 1] * 2, axis=1)  # [C, 6]
 
-    def one_conv(oh, ker):  # [Pb, Lb, 5] x [6, Lr, 5] -> [Pb, W, 6]
-        return jax.lax.conv_general_dilated(
-            oh, ker, (1,), "VALID",
-            dimension_numbers=("NHC", "OHI", "NHC"),
+    # band tensor: B[c, t*5+ch, v*DB+d] = kernels[c, v, t-d, ch] (0 inside pad)
+    t_i = jnp.arange(T)[:, None]
+    d_i = jnp.arange(DB)[None, :]
+    j_td = t_i - d_i
+    j_clip = jnp.clip(j_td, 0, Lr - 1)
+    band_mask = ((j_td >= 0) & (j_td < Lr)).astype(jnp.bfloat16)  # [T, DB]
+    Bm = kernels[:, :, j_clip, :] * band_mask[None, None, :, :, None]
+    Bm = Bm.transpose(0, 2, 4, 1, 3).reshape(C, T * 5, 6 * DB)
+
+    eff_f = eff[:, 0].astype(jnp.float32)[:, None, None]   # [C,1,1]
+    eff_c = eff[:, 1].astype(jnp.float32)[:, None, None]
+
+    # one REVERSE scan over position blocks: banded matmul + gating +
+    # blockwise suffix-min with carry => NXT and clip-match volumes come
+    # out block-major ([nb, C, Pb, DB]); phase-B gathers index that layout
+    # directly, so no [C, Pb, Wp] transposes ever materialise.
+    def scan_fn(carry, b):
+        carry_f, carry_r = carry  # [C, Pb] min match pos of later blocks
+        sl = jax.lax.dynamic_slice(
+            path_oh, (0, 0, b * DB, 0), (C, Pb, T, 5)
+        ).reshape(C, Pb, T * 5)
+        counts = jax.lax.dot_general(
+            sl, Bm, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )
-
-    counts = jax.vmap(one_conv)(path_oh, kernels)  # [C, Pb, W, 6]
-    M = counts == eff[:, None, None, :].astype(jnp.float32)
-
-    offs = jnp.arange(W, dtype=jnp.int32)
-    in_path = offs[None, None, :] < plen[..., None]
-
-    def gate_full(v, e):  # [C, Pb, W], eff [C]
-        over_ok = (
-            offs[None, None, :] + e[:, None, None] <= plen[..., None]
+        ).reshape(C, Pb, 6, DB)  # [C, Pb, v, d]
+        pos = b * DB + jnp.arange(DB, dtype=jnp.int32)
+        in_path = pos[None, None, :] < plen[..., None]
+        over_f = (
+            pos[None, None, :] + read_len[:, None, None] <= plen[..., None]
         ) | term[..., None]
-        return v & in_path & over_ok
+        gate = in_path & over_f
 
-    def nxt(m):  # gated bool [C, Pb, W] -> first valid match offset >= w
-        v = jnp.where(m, offs[None, None, :], INF)
-        return jax.lax.associative_scan(jnp.minimum, v, axis=2, reverse=True)
+        def suffmin(v, carry_v):
+            sm = jax.lax.cummin(v, axis=2, reverse=True)
+            return jnp.minimum(sm, carry_v[..., None])
 
-    NXT_f = nxt(gate_full(M[..., 0], read_len))
-    NXT_r = nxt(gate_full(M[..., 3], read_len))
+        nxt_f = suffmin(
+            jnp.where((counts[:, :, 0] == eff_f) & gate, pos[None, None, :], INF),
+            carry_f,
+        )
+        nxt_r = suffmin(
+            jnp.where((counts[:, :, 3] == eff_f) & gate, pos[None, None, :], INF),
+            carry_r,
+        )
+        out = (
+            nxt_f, nxt_r,
+            counts[:, :, 1] == eff_c, counts[:, :, 2] == eff_c,
+            counts[:, :, 4] == eff_c, counts[:, :, 5] == eff_c,
+        )
+        return (nxt_f[..., 0], nxt_r[..., 0]), out
+
+    carry0 = (jnp.full((C, Pb), INF), jnp.full((C, Pb), INF))
+    _, (NXT_f, NXT_r, mcs_f, mce_f, mcs_r, mce_r) = jax.lax.scan(
+        scan_fn, carry0, jnp.arange(nb, dtype=jnp.int32), reverse=True
+    )  # each [nb, C, Pb, DB]
 
     nf, nr = NXT_f.reshape(-1), NXT_r.reshape(-1)
-    mcsf, mcef = M[..., 1].reshape(-1), M[..., 2].reshape(-1)
-    mcsr, mcer = M[..., 4].reshape(-1), M[..., 5].reshape(-1)
+    mcsf, mcef = mcs_f.reshape(-1), mce_f.reshape(-1)
+    mcsr, mcer = mcs_r.reshape(-1), mce_r.reshape(-1)
     npos_flat = stack_npos.reshape(-1)
     nlen_flat = stack_nlen.reshape(-1)
 
@@ -282,12 +324,16 @@ def _pair_cascade(
     pg = g_idx[pair_combo]                      # [Np] graph slot
     prow = jnp.arange(Pb, dtype=jnp.int32)
 
+    def blk_flat(combo, p, w):
+        """Flat index into the block-major [nb, C, Pb, DB] volumes."""
+        return ((w // DB) * C + combo) * (Pb * DB) + p * DB + (w % DB)
+
     srow = pg * Nb + seed_idx                   # [Np]
     seed_starts = npos_flat[srow[:, None] * Pb + prow[None, :]]  # [Np, Pb]
     seed_len = nlen_flat[srow]                  # [Np]
     base = seed_starts + seed_off[:, None]
     base_safe = jnp.clip(base, 0, W - 1)
-    flat1 = (pair_combo[:, None] * Pb + prow[None, :]) * W + base_safe
+    flat1 = blk_flat(pair_combo[:, None], prow[None, :], base_safe)
 
     p_plen = plen[pair_combo]                   # [Np, Pb]
     p_term = term[pair_combo]
@@ -297,7 +343,7 @@ def _pair_cascade(
     c_starts = npos_flat[crow[:, None] * Pb + prow[None, :]]  # [Nq, Pb]
     c_len = nlen_flat[crow]                     # [Nq]
     c_safe = jnp.clip(c_starts, 0, W - 1)
-    flat2 = (pair_combo[probe_pair][:, None] * Pb + prow[None, :]) * W + c_safe
+    flat2 = blk_flat(pair_combo[probe_pair][:, None], prow[None, :], c_safe)
 
     q_iota = jnp.arange(Nq, dtype=jnp.int32)
 
@@ -391,13 +437,13 @@ def _pair_cascade(
 class DeviceAligner:
     """Drop-in alternative to GraphAligner with the cascade on device."""
 
-    # coarse buckets: every static dim combination is one XLA compile, and
-    # remote (tunnelled) compiles cost tens of seconds each. Np/Nq are TIED
-    # to the combo bucket (small call -> small pair/probe axes) so each
-    # (sig, C) pair is at most a couple of compiles.
-    C_BUCKETS = (32, 128, 512)     # combos (graph x read) per call
-    NP_FOR_C = {32: 128, 128: 1024, 512: 2048}
-    NQ_FOR_C = {128: 2048, 1024: 16384, 2048: 32768}  # keyed by Np
+    # coarse buckets: every static dim combination is one XLA compile
+    # (seconds each through the tunnel). Np/Nq pick the smallest bucket
+    # covering the call's REAL pair/probe counts — probe padding directly
+    # multiplies the stage-2 gather volume, the kernel's dominant cost.
+    C_BUCKETS = (32, 128, 512)        # combos (graph x read) per call
+    P_BUCKETS = (128, 512, 2048)      # pairs (read x mapping) per call
+    Q_BUCKETS = (2048, 8192, 32768)   # stage-2 probes per call
 
     MEM_BUDGET = 4 * 1024 * 1024 * 1024  # transient HBM per call
 
@@ -469,8 +515,8 @@ class DeviceAligner:
         calls = []
         for sig, sig_items in items_by_sig.items():
             c_cap = self._combo_cap(sig)
-            p_cap = self.NP_FOR_C[c_cap]
-            q_cap = self.NQ_FOR_C[p_cap]
+            p_cap = self.P_BUCKETS[-1]
+            q_cap = self.Q_BUCKETS[-1]
             stack = self._stacks[sig]
             dev = stack.device()
             chunk: List = []
@@ -517,14 +563,11 @@ class DeviceAligner:
             len(chunk), self.C_BUCKETS[: self.C_BUCKETS.index(c_cap) + 1]
         )
         total_pairs = sum(len(e[2][1]) for e in chunk)
-        Np = max(self.NP_FOR_C[C], _bucket(total_pairs, tuple(self.NP_FOR_C.values())))
+        Np = _bucket(max(total_pairs, 1), self.P_BUCKETS)
         total_probes = sum(
             min(len(m.contained_nodes), CN) for e in chunk for m in e[2][1]
         )
-        Nq = max(
-            self.NQ_FOR_C[Np],
-            _bucket(total_probes, tuple(self.NQ_FOR_C.values())),
-        )
+        Nq = _bucket(max(total_probes, 1), self.Q_BUCKETS)
         Lr_max = max(len(e[2][0].seq) for e in chunk)
         Lr = -(-max(Lr_max, 32) // 32) * 32
         pad_node = Nb - 1

@@ -30,6 +30,22 @@ CIGAR_OPS = "MIDNSHP=X"
 SEQ_NIBBLES = "=ACMGRSVTWYHKDBN"
 NIB = {c: i for i, c in enumerate(SEQ_NIBBLES)}
 
+import numpy as _np
+
+# ascii byte -> 4-bit code LUT (unknown bases -> N=15)
+_NIB_LUT = _np.full(256, 15, dtype=_np.uint8)
+for _c, _i in NIB.items():
+    _NIB_LUT[ord(_c)] = _i
+
+
+def _pack_seq(seq: bytes) -> bytes:
+    """4-bit pack a sequence (vectorized; the per-base Python loop was the
+    BAM hot spot at ~90k records x 150bp per 10k reads)."""
+    nib = _NIB_LUT[_np.frombuffer(seq, dtype=_np.uint8)]
+    if len(nib) % 2:
+        nib = _np.append(nib, 0)
+    return ((nib[0::2] << 4) | nib[1::2]).tobytes()
+
 
 @dataclass
 class Reference:
@@ -165,6 +181,7 @@ class BamWriter:
         self.bgzf = BgzfWriter(fh)
         self.references = references
         self.count = 0
+        self._payload_cache = (None, b"", b"")
         text = header_text(references).encode()
         flat: List[Reference] = []
         for graph_id in sorted(references):
@@ -180,10 +197,30 @@ class BamWriter:
     def write(self, rec: AlignmentRecord):
         ref = self.references.by_path[(rec.graph_id, rec.path_id)]
         name = rec.name.encode() + b"\x00"
+        l_seq = len(rec.seq)
+        # seq/qual payloads are shared across a read's records (one per
+        # matching path) — memoise by seq identity
+        key = id(rec.seq)
+        cached = self._payload_cache
+        if cached[0] == key:
+            seq_nib, qual = cached[1], cached[2]
+        else:
+            seq_nib = _pack_seq(rec.seq)
+            if rec.qual:
+                q = _np.frombuffer(rec.qual[:l_seq], dtype=_np.uint8)
+                qual = (
+                    _np.maximum(q.astype(_np.int16) - 33, 0)
+                    .astype(_np.uint8)
+                    .tobytes()
+                    .ljust(l_seq, b"\x00")
+                )
+            else:
+                qual = b"\xff" * l_seq
+            self._payload_cache = (key, seq_nib, qual)
         cigar: List[Tuple[int, int]] = []
         if rec.start_clip:
             cigar.append((rec.start_clip, 5))  # H
-        cigar.append((len(rec.seq), 0))  # M
+        cigar.append((l_seq, 0))  # M
         if rec.end_clip:
             cigar.append((rec.end_clip, 5))
         flag = 0
@@ -191,16 +228,6 @@ class BamWriter:
             flag |= FLAG_REVERSE
         if rec.secondary:
             flag |= FLAG_SECONDARY
-        l_seq = len(rec.seq)
-        seq_nib = bytearray((l_seq + 1) // 2)
-        for i, b in enumerate(rec.seq.decode()):
-            nib = NIB.get(b, 15)
-            seq_nib[i // 2] |= nib << (4 if i % 2 == 0 else 0)
-        if rec.qual:
-            qual = bytes((max(0, q - 33) for q in rec.qual[:l_seq]))
-            qual = qual.ljust(l_seq, b"\x00")
-        else:
-            qual = b"\xff" * l_seq
         end = rec.pos + l_seq
         data = struct.pack(
             "<iiBBHHHiiii",
@@ -216,11 +243,13 @@ class BamWriter:
             -1,
             0,
         )
-        data += name
+        parts = [data, name]
         for ln, op in cigar:
-            data += struct.pack("<I", (ln << 4) | op)
-        data += bytes(seq_nib) + qual
-        self.bgzf.write(struct.pack("<I", len(data)) + data)
+            parts.append(struct.pack("<I", (ln << 4) | op))
+        parts.append(seq_nib)
+        parts.append(qual)
+        body = b"".join(parts)
+        self.bgzf.write(struct.pack("<I", len(body)) + body)
         self.count += 1
 
     def close(self):
