@@ -203,6 +203,10 @@ def _pair_cascade(
     C, Lr = read_codes.shape
     Np = pair_combo.shape[0]
     Nq = probe_pair.shape[0]
+    # winner recovery packs (priority << 15) | probe_row into one i32
+    # (segment_min below): both fields must fit their bit budgets
+    assert Nq <= 1 << 15, f"probe bucket {Nq} overflows the 15-bit row field"
+    assert CN * (n_shuffles + 1) < 1 << 15, "stage-2 priority overflows 15 bits"
     W = Lb - Lr + 1
     DB = 128                 # window-position block for the banded matmul
     nb = -(-W // DB)
@@ -453,6 +457,13 @@ class DeviceAligner:
         self.store = store
         self._graphs: Dict[int, _HostGraph] = {}
         self._stacks: Dict[Tuple[int, int, int], _SigStack] = {}
+        # on TPU every distinct static shape is a fresh (tunnelled,
+        # minutes-long) XLA compile: pin ONE cascade shape per signature.
+        # CPU (tests) keeps adaptive buckets — compiles are cheap there and
+        # padded volumes are not.
+        import jax
+
+        self._fixed_buckets = jax.default_backend() not in ("cpu",)
         # deferred weighting: per-graph (kmer_freq deltas, kmer_total delta)
         # accumulated in numpy, flushed to graph objects by flush_weights()
         self._kf_acc: Dict[int, np.ndarray] = {}
@@ -490,9 +501,12 @@ class DeviceAligner:
     def _combo_cap(self, sig) -> int:
         """Largest combo bucket whose transient volumes fit MEM_BUDGET.
         Per combo: one-hot bf16 [Pb, Lb, 5] + counts f32 [Pb, W, 6] + match
-        bools + two i32 NXT volumes ~= Pb*Lb*48 bytes."""
+        bools + two i32 NXT volumes ~= Pb*Lb*48 bytes, plus the banded
+        kernel tensor Bm [(Lr+DB-1)*5, 6*DB] bf16 (dominant for small Pb)."""
         Pb, Lb, Nb = sig
-        per_combo = Pb * Lb * 48
+        DB = 128
+        bm_bytes = (MAX_READ + DB - 1) * 5 * 6 * DB * 2
+        per_combo = Pb * Lb * 48 + bm_bytes
         cap = self.C_BUCKETS[0]
         for b in self.C_BUCKETS:
             if b * per_combo <= self.MEM_BUDGET:
@@ -524,10 +538,28 @@ class DeviceAligner:
             n_probes = 0
             for entry in sig_items:
                 mappings = entry[2][1]
+                # a single entry must fit one chunk on its own: cap its
+                # mapping list explicitly (never silently mid-pack) — the
+                # reference tries mappings in order and stops at the first
+                # success, so dropping the tail only loses pathological
+                # >2048-mapping reads' last-resort probes
+                nq = 0
+                for mi, m in enumerate(mappings):
+                    mq = min(len(m.contained_nodes), CN)
+                    if mi >= p_cap or nq + mq > q_cap:
+                        import logging
+
+                        logging.getLogger("groot").warning(
+                            "read %s: truncating %d->%d mappings to fit the "
+                            "device cascade buckets",
+                            entry[2][0].id, len(mappings), mi,
+                        )
+                        mappings = mappings[:mi]
+                        entry = (entry[0], entry[1],
+                                 (entry[2][0], mappings, entry[2][2]))
+                        break
+                    nq += mq
                 npair = max(len(mappings), 1)
-                nq = sum(
-                    min(len(m.contained_nodes), CN) for m in mappings
-                )
                 if chunk and (
                     len(chunk) + 1 > c_cap
                     or n_pairs + npair > p_cap
@@ -568,6 +600,12 @@ class DeviceAligner:
             min(len(m.contained_nodes), CN) for e in chunk for m in e[2][1]
         )
         Nq = _bucket(max(total_probes, 1), self.Q_BUCKETS)
+        # submit_batch's chunking + per-entry capping guarantee fit; a
+        # violation here would silently mis-pack (stale pad rows reported
+        # unaligned), so fail loudly instead
+        assert total_pairs <= Np and total_probes <= Nq, (
+            total_pairs, Np, total_probes, Nq,
+        )
         Lr_max = max(len(e[2][0].seq) for e in chunk)
         Lr = -(-max(Lr_max, 32) // 32) * 32
         pad_node = Nb - 1
@@ -627,6 +665,235 @@ class DeviceAligner:
         except AttributeError:
             pass
         return meta, out
+
+    # ------------------------------------------------------------------
+    # vectorized pair-list API (batch_host tables; no per-hit Python)
+    # ------------------------------------------------------------------
+    def attach_tables(self, tables) -> None:
+        """Bind flat WindowTables and precompute graph-local cascade ranks
+        for every window/contained-node (one pass at startup; per batch the
+        pair arrays are pure numpy gathers)."""
+        self.tables = tables
+        t = tables
+        grank = np.zeros(t.num_nodes, dtype=np.int32)
+        gid_col = t.node_table[:, 0]
+        starts = np.searchsorted(gid_col, t.graph_ids)
+        ends = np.append(starts[1:], len(gid_col))
+        self._sig_ids: Dict[Tuple[int, int, int], int] = {}
+        self._sig_list: List[Tuple[int, int, int]] = []
+        sig_by_g = np.zeros(len(t.graph_ids), dtype=np.int16)
+        slot_by_g = np.zeros(len(t.graph_ids), dtype=np.int32)
+        for gi, gid in enumerate(t.graph_ids.tolist()):
+            hg = self.graph_dev(self.store[gid])
+            nr = hg.node_rank
+            seg_col = t.node_table[starts[gi] : ends[gi], 1]
+            grank[starts[gi] : ends[gi]] = np.fromiter(
+                (nr[int(s)] for s in seg_col), np.int32, len(seg_col)
+            )
+            sid = self._sig_ids.get(hg.sig)
+            if sid is None:
+                sid = self._sig_ids[hg.sig] = len(self._sig_list)
+                self._sig_list.append(hg.sig)
+            sig_by_g[gi] = sid
+            slot_by_g[gi] = hg.slot
+        gpos = np.searchsorted(t.graph_ids, t.w_graph)
+        self.w_sig = sig_by_g[gpos]
+        self.w_slot = slot_by_g[gpos]
+        self.w_seed_rank = grank[t.w_seed_grow]
+        self.cn_rank = grank[t.cn_grow]
+        self.probe_cnt = np.minimum(t.cn_cnt, CN).astype(np.int32)
+
+    def process_batch_pairs(
+        self, batch, rows, wins, combo_start, kc_read, acc, bam_writer, stats
+    ):
+        """Full cascade for one read batch from sorted (read, window) hit
+        lists: submit every chunk (async device calls), then collect —
+        winner selection, weight replay and BAM records, all vectorized."""
+        calls = self.submit_pairs(batch, rows, wins, combo_start)
+        self.collect_pairs(calls, batch, rows, wins, kc_read, acc, bam_writer, stats)
+
+    def submit_pairs(self, batch, rows, wins, combo_start):
+        """Launch all cascade chunks for a batch (async); returns handles."""
+        n_pairs_total = len(rows)
+        if n_pairs_total == 0:
+            return []
+        combo_end = np.append(combo_start[1:], n_pairs_total)
+        pair_cnt = (combo_end - combo_start).astype(np.int64)
+        pc_pair = self.probe_cnt[wins].astype(np.int64)
+        pc_combo = np.add.reduceat(pc_pair, combo_start)
+        combo_sig = self.w_sig[wins[combo_start]]
+
+        calls = []
+        p_cap = self.P_BUCKETS[-1]
+        q_cap = self.Q_BUCKETS[-1]
+        for sid in np.unique(combo_sig):
+            sig = self._sig_list[sid]
+            stack = self._stacks[sig]
+            dev = stack.device()
+            c_cap = self._combo_cap(sig)
+            combos = np.flatnonzero(combo_sig == sid)
+            cp = np.cumsum(pair_cnt[combos])
+            cq = np.cumsum(pc_combo[combos])
+            i = 0
+            while i < len(combos):
+                base_p = int(cp[i - 1]) if i else 0
+                base_q = int(cq[i - 1]) if i else 0
+                j = min(
+                    int(np.searchsorted(cp, base_p + p_cap, side="right")),
+                    int(np.searchsorted(cq, base_q + q_cap, side="right")),
+                    i + c_cap,
+                )
+                if j <= i:
+                    j = i + 1  # oversized combo: pairs capped in the packer
+                calls.append(
+                    self._submit_pair_chunk(
+                        stack, dev, batch, rows, wins, combo_start,
+                        pair_cnt, combos[i:j],
+                    )
+                )
+                i = j
+        return calls
+
+    def collect_pairs(
+        self, calls, batch, rows, wins, kc_read, acc, bam_writer, stats
+    ):
+        """Drain cascade results: winner selection, weight replay, BAM."""
+        from .batch_host import winners
+
+        t = self.tables
+        for meta, dev_out in calls:
+            pair_idx, owner, starts_local, total_pairs = meta
+            packed = np.asarray(dev_out)[:total_pairs]
+            found = packed[:, 0].astype(bool)
+            win, n_weighted = winners(found, starts_local)
+            lim = (starts_local + n_weighted)[owner]
+            sel = np.arange(total_pairs, dtype=np.int64) < lim
+            sel_pairs = pair_idx[sel]
+            acc.add_pairs(wins[sel_pairs], kc_read[rows[sel_pairs]])
+            for ci in np.flatnonzero(win >= 0):
+                p_local = int(win[ci])
+                gpair = int(pair_idx[p_local])
+                row = packed[p_local]
+                gid = int(t.w_graph[wins[gpair]])
+                hg = self._graphs[gid]
+                read = batch.read(int(rows[gpair]))
+                records = self._build_records(
+                    self.store[gid], hg.gp, hg, read,
+                    int(row[2]), int(row[4]), int(row[5]),
+                    int(row[6]), int(row[7]), row[8:],
+                )
+                stats.alignment_count += len(records)
+                if bam_writer is not None:
+                    for rec in records:
+                        bam_writer.write(rec)
+
+    def _submit_pair_chunk(
+        self, stack, dev, batch, rows, wins, combo_start, pair_cnt, chunk
+    ):
+        """Pack one chunk of combos into bucketed device arrays (all numpy
+        gathers) and launch the cascade."""
+        import logging
+
+        Pb, Lb, Nb = stack.sig
+        pad_node = Nb - 1
+        c_cap = self._combo_cap(stack.sig)
+        C = _bucket(
+            len(chunk), self.C_BUCKETS[: self.C_BUCKETS.index(c_cap) + 1]
+        )
+        p_cap = self.P_BUCKETS[-1]
+        q_cap = self.Q_BUCKETS[-1]
+
+        capped = np.minimum(pair_cnt[chunk], p_cap)
+        if (capped < pair_cnt[chunk]).any():
+            logging.getLogger("groot").warning(
+                "capping %d oversized combos to %d mappings",
+                int((capped < pair_cnt[chunk]).sum()), p_cap,
+            )
+        total_pairs = int(capped.sum())
+        owner = np.repeat(np.arange(len(chunk)), capped)
+        starts_local = np.concatenate(
+            ([0], np.cumsum(capped[:-1]))
+        ).astype(np.int64)
+        rank = np.arange(total_pairs, dtype=np.int64) - starts_local[owner]
+        pair_idx = combo_start[chunk][owner] + rank
+        wch = wins[pair_idx]
+        pq = self.probe_cnt[wch].astype(np.int64)
+        cum_pq = np.cumsum(pq)
+        total_probes = int(cum_pq[-1]) if total_pairs else 0
+        if total_probes > q_cap:
+            # only reachable for a single-combo chunk: drop tail pairs
+            keep = int(np.searchsorted(cum_pq, q_cap, side="right"))
+            logging.getLogger("groot").warning(
+                "truncating oversized combo to %d mappings (probe budget)",
+                keep,
+            )
+            total_pairs = keep
+            owner = owner[:keep]
+            pair_idx = pair_idx[:keep]
+            wch = wch[:keep]
+            pq = pq[:keep]
+            starts_local = np.zeros(len(chunk), dtype=np.int64)
+            total_probes = int(pq.sum())
+
+        if self._fixed_buckets:
+            C = _bucket(c_cap, self.C_BUCKETS)
+            Np = self.P_BUCKETS[-1]
+            Nq = self.Q_BUCKETS[-1]
+        else:
+            Np = _bucket(max(total_pairs, 1), self.P_BUCKETS)
+            Nq = _bucket(max(total_probes, 1), self.Q_BUCKETS)
+        Lr = batch.codes.shape[1]
+
+        t = self.tables
+        heads = combo_start[chunk]
+        crows = rows[heads]
+        g_idx = np.zeros(C, np.int32)
+        g_idx[: len(chunk)] = self.w_slot[wins[heads]]
+        read_codes = np.full((C, Lr), 4, np.uint8)
+        read_codes[: len(chunk)] = batch.codes[crows]
+        read_len = np.zeros(C, np.int32)
+        read_len[: len(chunk)] = batch.lengths[crows]
+
+        pair_combo = np.zeros(Np, np.int32)
+        pair_combo[:total_pairs] = owner
+        pair_valid = np.zeros(Np, bool)
+        pair_valid[:total_pairs] = True
+        seed_idx = np.full(Np, pad_node, np.int32)
+        seed_idx[:total_pairs] = self.w_seed_rank[wch]
+        seed_off = np.zeros(Np, np.int32)
+        seed_off[:total_pairs] = t.w_off[wch]
+        span_lim = np.full(Np, -1, np.int32)
+        span_lim[:total_pairs] = t.w_span[wch]
+
+        from .batch_host import csr_expand
+
+        pflat, powner, prank = csr_expand(t.cn_ptr, self.probe_cnt, wch)
+        probe_pair = np.full(Nq, Np - 1, np.int32)
+        probe_pair[:total_probes] = powner
+        probe_node = np.full(Nq, pad_node, np.int32)
+        probe_node[:total_probes] = self.cn_rank[pflat]
+        probe_rank = np.zeros(Nq, np.int32)
+        probe_rank[:total_probes] = prank
+
+        out = _pair_cascade(
+            *dev,
+            jnp.asarray(g_idx),
+            jnp.asarray(read_codes),
+            jnp.asarray(read_len),
+            jnp.asarray(pair_combo),
+            jnp.asarray(pair_valid),
+            jnp.asarray(seed_idx),
+            jnp.asarray(seed_off),
+            jnp.asarray(span_lim),
+            jnp.asarray(probe_pair),
+            jnp.asarray(probe_node),
+            jnp.asarray(probe_rank),
+        )
+        try:
+            out.copy_to_host_async()
+        except AttributeError:
+            pass
+        return (pair_idx, owner, starts_local, total_pairs), out
 
     # ------------------------------------------------------------------
     # single-graph API (tests / host-aligner drop-in)

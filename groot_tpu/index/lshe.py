@@ -200,6 +200,37 @@ class ContainmentIndex:
                 hits[g].sort(key=lambda k: (k.node, k.offset))
         return out
 
+    def query_batch_np(
+        self,
+        sketch_hi,
+        sketch_lo,
+        query_sizes: np.ndarray,
+        threshold: float,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Flat-array variant of query_batch: returns (read_rows, window_ids)
+        as numpy int arrays (unsorted) — the batched pipeline does all
+        grouping/sorting itself (align.batch_host.sort_hits)."""
+        if self._tables is None:
+            self.prepare()
+        B = int(sketch_hi.shape[0])
+        K = self.optimal_k(int(np.min(query_sizes)) if B else 1, threshold)
+        t = self._tables[K]
+        win_idx = _query_device(
+            sketch_hi,
+            sketch_lo,
+            jnp.asarray(t["sorted_sigs"]),
+            jnp.asarray(t["idx"]),
+            self._dev["hi"],
+            self._dev["lo"],
+            jnp.asarray(np.asarray(query_sizes, dtype=np.int32)),
+            K,
+            self.num_window_kmers,
+            threshold,
+        )
+        win_idx = np.asarray(win_idx)
+        rows, cols = np.nonzero(win_idx >= 0)
+        return rows.astype(np.int64), win_idx[rows, cols].astype(np.int64)
+
     # ------------------------------------------------------------------
     # serialisation (groot.lshe equivalent)
     # ------------------------------------------------------------------

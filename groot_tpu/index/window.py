@@ -119,49 +119,121 @@ def window_sketches(codes, lengths, k: int, s: int, w: int):
 # ---------------------------------------------------------------------------
 # host: merge runs + cross-path merge
 # ---------------------------------------------------------------------------
+ROW_CHUNK = 512  # path rows per device call (bounds the [R, nk, s] multihash)
+
+
+@jax.jit
+def _change_mask(hi, lo):
+    """[P, nw, s] sketches -> [P, nw] bool: window differs from predecessor
+    (run starts). Keeps the big sketch volume on device; only run-start
+    sketches ever cross to the host."""
+    diff = (hi[:, 1:] != hi[:, :-1]).any(-1) | (lo[:, 1:] != lo[:, :-1]).any(-1)
+    first = jnp.ones((hi.shape[0], 1), dtype=bool)
+    return jnp.concatenate([first, diff], axis=1)
+
+
+@jax.jit
+def _gather_sketches(hi, lo, rows, cols):
+    return hi[rows, cols], lo[rows, cols]
+
+
+def sketch_graphs(
+    graphs: List[GrootGraph], window_size: int, kmer_size: int, sketch_size: int
+) -> List[Dict[str, List[Key]]]:
+    """Batched WindowGraph over many graphs: ALL path rows of all graphs are
+    flattened onto one row axis, grouped by padded row length and sketched in
+    fixed-shape [ROW_CHUNK, Lb] device calls (one XLA program per Lb bucket
+    instead of one dispatch per graph — the reference sketches graphs one
+    goroutine at a time, graph.go:261). Run detection happens on device and
+    only the distinct (run-start) sketches are fetched."""
+    packs = [pack_graph_paths(g) for g in graphs]
+    for g, packed in zip(graphs, packs):
+        if (packed.lengths < window_size).any():
+            raise ValueError("graph contains sequence < window size")
+        g.num_windows = int((packed.lengths - window_size + 1).sum())
+        g.num_distinct_sketches = 0
+        g.max_span = 0
+
+    # flat row table: (graph_idx, path_idx, length); group by Lb bucket
+    by_lb: Dict[int, List[Tuple[int, int]]] = {}
+    for gi, packed in enumerate(packs):
+        L = packed.codes.shape[1]
+        Lb = -(-L // 1024) * 1024
+        by_lb.setdefault(Lb, []).extend(
+            (gi, pi) for pi in range(len(packed.path_ids))
+        )
+    # per-(graph, path): (nw, run_start_cols, run_start_sketches u64 [M, s])
+    path_runs: Dict[Tuple[int, int], Tuple[int, np.ndarray, np.ndarray]] = {}
+    for Lb, rows in sorted(by_lb.items()):
+        for c0 in range(0, len(rows), ROW_CHUNK):
+            chunk = rows[c0 : c0 + ROW_CHUNK]
+            R = ROW_CHUNK  # fixed shape: pad the tail chunk with empty rows
+            codes = np.full((R, Lb), 4, dtype=np.uint8)
+            lens = np.zeros(R, dtype=np.int32)
+            for r, (gi, pi) in enumerate(chunk):
+                packed = packs[gi]
+                ln = int(packed.lengths[pi])
+                codes[r, :ln] = packed.codes[pi, :ln]
+                lens[r] = ln
+            hi, lo = window_sketches(
+                jnp.asarray(codes), jnp.asarray(lens), kmer_size,
+                sketch_size, window_size,
+            )
+            change = np.asarray(_change_mask(hi, lo))  # [R, nw_pad] bool
+            g_rows: List[np.ndarray] = []
+            g_cols: List[np.ndarray] = []
+            for r, (gi, pi) in enumerate(chunk):
+                nw = int(packs[gi].lengths[pi]) - window_size + 1
+                cols = np.flatnonzero(change[r, :nw])
+                g_rows.append(np.full(len(cols), r, dtype=np.int32))
+                g_cols.append(cols.astype(np.int32))
+            rows_np = np.concatenate(g_rows)
+            cols_np = np.concatenate(g_cols)
+            M = len(rows_np)
+            Mb = -(-max(M, 1) // 4096) * 4096  # bucket the gather shape
+            rpad = np.zeros(Mb, dtype=np.int32)
+            cpad = np.zeros(Mb, dtype=np.int32)
+            rpad[:M] = rows_np
+            cpad[:M] = cols_np
+            ghi, glo = _gather_sketches(
+                hi, lo, jnp.asarray(rpad), jnp.asarray(cpad)
+            )
+            sk = u64.to_np(np.asarray(ghi)[:M], np.asarray(glo)[:M])  # [M, s]
+            base = 0
+            for r, (gi, pi) in enumerate(chunk):
+                n = len(g_cols[r])
+                nw = int(packs[gi].lengths[pi]) - window_size + 1
+                path_runs[(gi, pi)] = (
+                    nw, g_cols[r], sk[base : base + n]
+                )
+                base += n
+
+    out: List[Dict[str, List[Key]]] = []
+    for gi, (graph, packed) in enumerate(zip(graphs, packs)):
+        runs = [path_runs[(gi, pi)] for pi in range(len(packed.path_ids))]
+        out.append(_merge_windows(graph, packed, runs, window_size))
+    return out
+
+
 def sketch_graph(
     graph: GrootGraph, window_size: int, kmer_size: int, sketch_size: int
 ) -> Dict[str, List[Key]]:
     """WindowGraph equivalent: {"g%dn%do%d" -> [Key, ...]} per graph."""
-    packed = pack_graph_paths(graph)
-    lengths = packed.lengths
-    if (lengths < window_size).any():
-        raise ValueError("graph contains sequence < window size")
+    return sketch_graphs([graph], window_size, kmer_size, sketch_size)[0]
 
-    graph.num_windows = int((lengths - window_size + 1).sum())
-    graph.num_distinct_sketches = 0
-    graph.max_span = 0
 
-    # bucket (P, L) so XLA compiles once per bucket, not per graph
-    P, L = packed.codes.shape
-    Pb = max(4, 1 << (P - 1).bit_length())
-    Lb = -(-L // 512) * 512
-    codes = np.full((Pb, Lb), 4, dtype=np.uint8)
-    codes[:P, :L] = packed.codes
-    lens_b = np.zeros(Pb, dtype=np.int32)
-    lens_b[:P] = lengths
-    hi, lo = window_sketches(
-        jnp.asarray(codes),
-        jnp.asarray(lens_b),
-        kmer_size,
-        sketch_size,
-        window_size,
-    )
-    hi = hi[:P, : L - window_size + 1]
-    lo = lo[:P, : L - window_size + 1]
-    sketches = u64.to_np(np.asarray(hi), np.asarray(lo))  # [P, nw, s]
-
+def _merge_windows(
+    graph: GrootGraph,
+    packed: PackedPaths,
+    runs: List[Tuple[int, np.ndarray, np.ndarray]],
+    window_size: int,
+) -> Dict[str, List[Key]]:
+    """Run merging + cross-path merge from per-path (nw, run_starts,
+    run_start_sketches) triples (run boundaries already found on device)."""
     window_lookup: Dict[str, List[Key]] = {}
     for pi, path_id in enumerate(packed.path_ids):
-        nw = int(lengths[pi]) - window_size + 1
-        sk = sketches[pi, :nw]
+        nw, run_starts, run_sketches = runs[pi]
         segs = packed.segs[pi]
-        # run boundaries: windows whose sketch differs from their predecessor
-        change = np.empty(nw, dtype=bool)
-        change[0] = True
-        if nw > 1:
-            change[1:] = (sk[1:] != sk[:-1]).any(axis=1)
-        run_starts = np.flatnonzero(change)
         run_ends = np.append(run_starts[1:] - 1, nw - 1)
 
         # reference tail-run behavior: the final run is only emitted when it
@@ -185,7 +257,7 @@ def sketch_graph(
                 offset=int(packed.offsets[pi][a]),
                 contained_nodes=contained,
                 ref=[path_id],
-                sketch=sk[a].copy(),
+                sketch=run_sketches[ri].copy(),
                 merge_span=b - a,
                 window_size=window_size,
             )

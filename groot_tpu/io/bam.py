@@ -199,10 +199,11 @@ class BamWriter:
         name = rec.name.encode() + b"\x00"
         l_seq = len(rec.seq)
         # seq/qual payloads are shared across a read's records (one per
-        # matching path) — memoise by seq identity
-        key = id(rec.seq)
+        # matching path) — memoise by seq identity; the cache keeps the
+        # bytes object itself alive so an id() can never be reused by a
+        # later allocation while the entry is live
         cached = self._payload_cache
-        if cached[0] == key:
+        if cached[0] is rec.seq:
             seq_nib, qual = cached[1], cached[2]
         else:
             seq_nib = _pack_seq(rec.seq)
@@ -216,7 +217,7 @@ class BamWriter:
                 )
             else:
                 qual = b"\xff" * l_seq
-            self._payload_cache = (key, seq_nib, qual)
+            self._payload_cache = (rec.seq, seq_nib, qual)
         cigar: List[Tuple[int, int]] = []
         if rec.start_clip:
             cigar.append((rec.start_clip, 5))  # H

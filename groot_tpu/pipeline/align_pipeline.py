@@ -187,6 +187,8 @@ def run_align(
 
     aligner = None
     references = None
+    tables = None
+    acc = None
     if not no_align:
         references = bamio.build_references(info.store)
         # backend-aware cascade choice: the device cascade is built for the
@@ -200,11 +202,20 @@ def run_align(
         elif os.environ.get("GROOT_DEVICE_ALIGNER"):
             use_device = True
         if use_device:
+            from ..align.batch_host import WeightAccumulator, WindowTables
             from ..align.device_cascade import DeviceAligner
 
             aligner = DeviceAligner(info.store, references)
+            tables = WindowTables(index, info.store)
+            acc = WeightAccumulator(tables)
+            aligner.attach_tables(tables)
         else:
             aligner = GraphAligner(info.store, references)
+    else:
+        from ..align.batch_host import WeightAccumulator, WindowTables
+
+        tables = WindowTables(index, info.store)
+        acc = WeightAccumulator(tables)
 
     # fast path: plain/gzip FASTQ files through the native scanner; FASTA or
     # STDIN fall back to the Python streamer
@@ -225,19 +236,36 @@ def run_align(
     import time as _time
 
     t_start = _time.time()
+    pending = None  # one-deep pipeline: cascade of batch i drains while
+    # batch i+1 sketches/queries/packs (device + host overlap)
     for batch in batches:
         raw_count += batch.n_valid
         length_total += int(batch.lengths[: batch.n_valid].sum())
         if batch.n < batch_size:
             _pad_batch(batch, batch_size, k)
-        _process_batch(info, batch, aligner, bam_writer, stats, k, s, t)
+        nxt = _process_batch(
+            info, batch, aligner, bam_writer, stats, k, s, t, tables, acc
+        )
+        if pending is not None:
+            p_batch, p_calls, p_rows, p_wins, p_kc = pending
+            aligner.collect_pairs(
+                p_calls, p_batch, p_rows, p_wins, p_kc, acc, bam_writer, stats
+            )
+        pending = nxt
         log.info(
             "\tprocessed %d reads (%.0f reads/s)",
             raw_count,
             raw_count / max(_time.time() - t_start, 1e-9),
         )
+    if pending is not None:
+        p_batch, p_calls, p_rows, p_wins, p_kc = pending
+        aligner.collect_pairs(
+            p_calls, p_batch, p_rows, p_wins, p_kc, acc, bam_writer, stats
+        )
 
-    if aligner is not None and hasattr(aligner, "flush_weights"):
+    if acc is not None:
+        acc.flush(info.store)  # apply deferred increment_subpath replay
+    elif aligner is not None and hasattr(aligner, "flush_weights"):
         aligner.flush_weights()  # apply deferred increment_subpath replay
 
     if raw_count == 0:
@@ -286,7 +314,9 @@ def _pad_batch(batch: ReadBatch, batch_size: int, k: int) -> None:
     batch.codes, batch.lengths, batch.n_valid = codes, lengths, n
 
 
-def _process_batch(info, batch, aligner, bam_writer, stats, k, s, t):
+def _process_batch(
+    info, batch, aligner, bam_writer, stats, k, s, t, tables=None, acc=None
+):
     import time as _time
 
     if (batch.lengths[: batch.n_valid] < k).any():
@@ -299,6 +329,38 @@ def _process_batch(info, batch, aligner, bam_writer, stats, k, s, t):
     t0 = _time.time()
     hi, lo = sketch_reads(batch.codes, batch.lengths, k, s)
     kmer_counts = (batch.lengths - k + 1).astype(np.int32)
+
+    if tables is not None:
+        # vectorized flat-hit path: one D2H sync for the hit list, then all
+        # per-hit bookkeeping is numpy (batch_host) + the device cascade
+        from ..align.batch_host import sort_hits
+
+        rows, wins = info.db.query_batch_np(hi, lo, kmer_counts, t)
+        keep = rows < batch.n_valid
+        rows, wins = rows[keep], wins[keep]
+        stats.received += batch.n_valid
+        rows, wins, combo_start = sort_hits(tables, rows, wins)
+        if len(rows):
+            graphs_per_read = np.bincount(
+                rows[combo_start], minlength=batch.n_valid
+            )
+            stats.mapped += int((graphs_per_read > 0).sum())
+            stats.multimapped += int((graphs_per_read > 1).sum())
+        kc_read = kmer_counts.astype(np.float64)
+        t1 = _time.time()
+        if info.sketch.no_exact_align:
+            if len(rows):
+                acc.add_pairs(wins, kc_read[rows])
+            return None
+        calls = aligner.submit_pairs(batch, rows, wins, combo_start)
+        if _TIMING:
+            t2 = _time.time()
+            log.info(
+                "\ttiming: sketch+query=%.2fs submit=%.2fs pairs=%d calls=%d",
+                t1 - t0, t2 - t1, len(rows), len(calls),
+            )
+        return (batch, calls, rows, wins, kc_read)
+
     # hi/lo stay on device: query_batch feeds them straight into the jitted
     # LSH lookup (a np.asarray here would bounce them D2H then H2D)
     results = info.db.query_batch(hi, lo, kmer_counts, t)

@@ -15,7 +15,7 @@ from typing import Dict, List
 from ..config import Info
 from ..graph.grootgraph import GrootGraph, Store
 from ..index.lshe import ContainmentIndex
-from ..index.window import Key, sketch_graph
+from ..index.window import Key, sketch_graphs
 from ..io.fastx import read_msa
 from ..io.msa2gfa import msa_to_gfa
 
@@ -60,13 +60,15 @@ def sketch_and_index(info: Info, graphs: List[GrootGraph]) -> ContainmentIndex:
     num_windows = 0
     prop_distinct = 0.0
     num_masked = 0
+    unmasked = [g for g in graphs if not g.masked]
+    windows_per_graph = sketch_graphs(
+        unmasked, info.window_size, info.kmer_size, info.sketch_size
+    )
+    windows_iter = iter(windows_per_graph)
     all_windows: List[Dict[str, List[Key]]] = []
     for graph in graphs:
         if not graph.masked:
-            windows = sketch_graph(
-                graph, info.window_size, info.kmer_size, info.sketch_size
-            )
-            all_windows.append(windows)
+            all_windows.append(next(windows_iter))
             if graph.max_span > info.max_sketch_span:
                 # NOTE: the reference intends this as a fatal error
                 # (index.go:139-143) but its maxSpan counter is never
