@@ -173,24 +173,10 @@ class ContainmentIndex:
         if self._tables is None:
             self.prepare()
         B = int(sketch_hi.shape[0])
-        K = self.optimal_k(int(np.min(query_sizes)) if B else 1, threshold)
-        t = self._tables[K]
-        win_idx = _query_device(
-            sketch_hi,
-            sketch_lo,
-            jnp.asarray(t["sorted_sigs"]),
-            jnp.asarray(t["idx"]),
-            self._dev["hi"],
-            self._dev["lo"],
-            jnp.asarray(np.asarray(query_sizes, dtype=np.int32)),
-            K,
-            self.num_window_kmers,
-            threshold,
+        rows, wins = self.query_batch_np(
+            sketch_hi, sketch_lo, query_sizes, threshold
         )
-        win_idx = np.asarray(win_idx)
         out: List[Dict[int, List[Key]]] = [{} for _ in range(B)]
-        rows, cols = np.nonzero(win_idx >= 0)  # touch only actual hits
-        wins = win_idx[rows, cols]
         keys = self.keys
         for b, w in zip(rows.tolist(), wins.tolist()):
             key = keys[w]
@@ -209,9 +195,65 @@ class ContainmentIndex:
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Flat-array variant of query_batch: returns (read_rows, window_ids)
         as numpy int arrays (unsorted) — the batched pipeline does all
-        grouping/sorting itself (align.batch_host.sort_hits)."""
+        grouping/sorting itself (align.batch_host.sort_hits).
+
+        Runs on the host by default: band lookups are searchsorted + gather,
+        and unlike the fixed-shape device kernel the host path has no
+        per-band candidate cap — exactly the reference's semantics
+        (lshensemble returns every bucket collision, lshe.go:157-171).
+        GROOT_DEVICE_QUERY=1 forces the device kernel."""
         if self._tables is None:
             self.prepare()
+        if os.environ.get("GROOT_DEVICE_QUERY"):
+            return self._query_batch_np_dev(
+                sketch_hi, sketch_lo, query_sizes, threshold
+            )
+        B = int(sketch_hi.shape[0])
+        K = self.optimal_k(int(np.min(query_sizes)) if B else 1, threshold)
+        t = self._tables[K]
+        hi = np.asarray(sketch_hi)
+        lo = np.asarray(sketch_lo)
+        q64 = (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
+        sigs = _mix_bands_np(q64, K)  # [B, L]
+        sorted_sigs = t["sorted_sigs"]  # [L, N]
+        idx = t["idx"]
+        Lbands = sorted_sigs.shape[0]
+        cand_parts: List[np.ndarray] = []
+        row_parts: List[np.ndarray] = []
+        for b in range(Lbands):
+            lo_i = np.searchsorted(sorted_sigs[b], sigs[:, b], side="left")
+            hi_i = np.searchsorted(sorted_sigs[b], sigs[:, b], side="right")
+            cnt = (hi_i - lo_i).astype(np.int64)
+            total = int(cnt.sum())
+            if total == 0:
+                continue
+            owner = np.repeat(np.arange(B), cnt)
+            starts = np.concatenate(([0], np.cumsum(cnt[:-1])))
+            ai = lo_i[owner] + (np.arange(total) - starts[owner])
+            cand_parts.append(idx[b][ai].astype(np.int64))
+            row_parts.append(owner)
+        if not cand_parts:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        cands = np.concatenate(cand_parts)
+        rows = np.concatenate(row_parts)
+        # dedup (read, window)
+        key = rows * self.num_sketches + cands
+        key = np.unique(key)
+        rows = key // self.num_sketches
+        cands = key % self.num_sketches
+        # exact containment post-filter (lshe.go:165)
+        s = self.sketch_size
+        q = q64[rows]  # [n, s]
+        eq = (self.sketches[cands] == q).sum(axis=1)
+        j = eq.astype(np.float64) / s
+        qs = np.asarray(query_sizes, np.float64)[rows]
+        contain = j * (qs + self.num_window_kmers) / ((1.0 + j) * qs)
+        keep = contain > threshold
+        return rows[keep], cands[keep]
+
+    def _query_batch_np_dev(
+        self, sketch_hi, sketch_lo, query_sizes, threshold
+    ) -> Tuple[np.ndarray, np.ndarray]:
         B = int(sketch_hi.shape[0])
         K = self.optimal_k(int(np.min(query_sizes)) if B else 1, threshold)
         t = self._tables[K]

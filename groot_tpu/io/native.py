@@ -59,6 +59,19 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.gio_bgzf_block.argtypes = [
             ctypes.c_char_p, _LONG, _U8P, _LONG,
         ]
+        _I8P = np.ctypeslib.ndpointer(dtype=np.int8, flags="C_CONTIGUOUS")
+        _I32P = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
+        lib.gio_cascade.restype = _LONG
+        lib.gio_cascade.argtypes = [
+            _LONG, _LP, _LP, _LP, _LP, _U8P,         # combos
+            _I8P, _I32P, _I32P,                       # matches
+            _LP, _I32P, _I32P, _LP, _I32P,            # per-pair seed data
+            _LP,                                      # cn_grow
+            _LP, _I32P, _LP, _I32P, _I32P,            # node lookup
+            ctypes.c_int,                             # n_shuffles
+            _I32P, _I8P, _I8P,                        # combo outputs
+            _I32P, _I32P, _I32P, _LONG,               # ids out
+        ]
         _lib = lib
     except OSError as e:  # pragma: no cover
         log.debug("native load failed: %s", e)
@@ -151,6 +164,60 @@ def encode_batch(
         o = int(seq_off[r])
         out[r, :ln] = ASCII_TO_CODE[arr[o : o + ln]]
     return out
+
+
+def cascade(
+    c_mlo, c_mcnt, c_pair_start, c_pair_cnt, c_fb,
+    m_var, m_row, m_pos,
+    p_seed_grow, p_off, p_span, p_cn_ptr, p_cn_cnt, cn_grow,
+    node_base, node_g, g_first_row, npos_dense, node_len,
+    n_shuffles: int,
+):
+    """Native staged-winner evaluation (see native/grootio.cpp gio_cascade).
+    Returns (combo_win, combo_ori, combo_stage, id_combo, id_row, id_pos)
+    or None when the native library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "gio_cascade"):
+        return None
+    nc = len(c_mlo)
+    combo_win = np.empty(nc, np.int32)
+    combo_ori = np.empty(nc, np.int8)
+    combo_stage = np.empty(nc, np.int8)
+    cap = max(len(m_var), 1)
+    out_combo = np.empty(cap, np.int32)
+    out_row = np.empty(cap, np.int32)
+    out_pos = np.empty(cap, np.int32)
+    n = lib.gio_cascade(
+        nc,
+        np.ascontiguousarray(c_mlo, np.int64),
+        np.ascontiguousarray(c_mcnt, np.int64),
+        np.ascontiguousarray(c_pair_start, np.int64),
+        np.ascontiguousarray(c_pair_cnt, np.int64),
+        np.ascontiguousarray(c_fb, np.uint8),
+        np.ascontiguousarray(m_var, np.int8),
+        np.ascontiguousarray(m_row, np.int32),
+        np.ascontiguousarray(m_pos, np.int32),
+        np.ascontiguousarray(p_seed_grow, np.int64),
+        np.ascontiguousarray(p_off, np.int32),
+        np.ascontiguousarray(p_span, np.int32),
+        np.ascontiguousarray(p_cn_ptr, np.int64),
+        np.ascontiguousarray(p_cn_cnt, np.int32),
+        np.ascontiguousarray(cn_grow, np.int64),
+        np.ascontiguousarray(node_base, np.int64),
+        np.ascontiguousarray(node_g, np.int32),
+        np.ascontiguousarray(g_first_row, np.int64),
+        np.ascontiguousarray(npos_dense, np.int32),
+        np.ascontiguousarray(node_len, np.int32),
+        n_shuffles,
+        combo_win, combo_ori, combo_stage,
+        out_combo, out_row, out_pos, cap,
+    )
+    return (
+        combo_win, combo_ori, combo_stage,
+        out_combo[:n].astype(np.int64),
+        out_row[:n],
+        out_pos[:n],
+    )
 
 
 def bgzf_block(data: bytes) -> Optional[bytes]:

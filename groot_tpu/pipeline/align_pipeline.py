@@ -191,17 +191,13 @@ def run_align(
     acc = None
     if not no_align:
         references = bamio.build_references(info.store)
-        # backend-aware cascade choice: the device cascade is built for the
-        # TPU (MXU conv + flat gathers); on CPU XLA it is slower than the
-        # vectorized numpy host cascade, so CPU runs use that by default.
-        import jax
-
-        use_device = jax.default_backend() not in ("cpu",)
+        # aligner selection: the hash-join aligner (v5) is the default —
+        # candidate positions from an O(log N) substring-hash join instead
+        # of brute-force match volumes. GROOT_DEVICE_ALIGNER forces the MXU
+        # cascade, GROOT_HOST_ALIGNER the legacy per-Key host path.
         if os.environ.get("GROOT_HOST_ALIGNER"):
-            use_device = False
+            aligner = GraphAligner(info.store, references)
         elif os.environ.get("GROOT_DEVICE_ALIGNER"):
-            use_device = True
-        if use_device:
             from ..align.batch_host import WeightAccumulator, WindowTables
             from ..align.device_cascade import DeviceAligner
 
@@ -210,7 +206,13 @@ def run_align(
             acc = WeightAccumulator(tables)
             aligner.attach_tables(tables)
         else:
-            aligner = GraphAligner(info.store, references)
+            from ..align.batch_host import WeightAccumulator, WindowTables
+            from ..align.hash_join import HashAligner
+
+            aligner = HashAligner(info.store, references)
+            tables = WindowTables(index, info.store)
+            acc = WeightAccumulator(tables)
+            aligner.attach_tables(tables, index, k)
     else:
         from ..align.batch_host import WeightAccumulator, WindowTables
 
@@ -351,6 +353,17 @@ def _process_batch(
         if info.sketch.no_exact_align:
             if len(rows):
                 acc.add_pairs(wins, kc_read[rows])
+            return None
+        if hasattr(aligner, "process_batch"):  # hash-join aligner (v5)
+            aligner.process_batch(
+                batch, rows, wins, combo_start, kc_read, acc, bam_writer, stats
+            )
+            if _TIMING:
+                t2 = _time.time()
+                log.info(
+                    "\ttiming: sketch+query=%.2fs align=%.2fs pairs=%d",
+                    t1 - t0, t2 - t1, len(rows),
+                )
             return None
         calls = aligner.submit_pairs(batch, rows, wins, combo_start)
         if _TIMING:

@@ -153,3 +153,155 @@ long gio_bgzf_block(const uint8_t* data, long n, uint8_t* out, long out_cap) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// gio_cascade: staged winner evaluation for the hash-join aligner
+// (groot_tpu/align/hash_join.py). For each (read, graph) combo, try its
+// pairs in order (graphminion.go:57-99) and, per pair, the four probe
+// stages of AlignRead (alignment.go:34-103) over the combo's match list;
+// the first success wins and later pairs are never evaluated. Emits the
+// winning (ori, stage) per combo plus the matching (row, pos) ids of the
+// winning probe.
+//
+// match semantics are precomputed on the host (hash join): a match
+// (var, row, pos) states that read-variant `var` matches path row `row` at
+// `pos` (wildcards and dead-end overhangs already resolved).
+extern "C" long gio_cascade(
+    // combos
+    long nc, const long* c_mlo, const long* c_mcnt,
+    const long* c_pair_start, const long* c_pair_cnt, const uint8_t* c_fb,
+    // matches (combo-segmented)
+    const int8_t* m_var, const int32_t* m_row, const int32_t* m_pos,
+    // per-pair seed data (index = global pair id)
+    const long* p_seed_grow, const int32_t* p_off, const int32_t* p_span,
+    const long* p_cn_ptr, const int32_t* p_cn_cnt,
+    // contained-node rows (global CSR, indexed via p_cn_ptr/p_cn_cnt)
+    const long* cn_grow,
+    // node -> (path row) dense position lookup
+    const long* node_base, const int32_t* node_g, const long* g_first_row,
+    const int32_t* npos_dense, const int32_t* node_len,
+    int n_shuffles,
+    // outputs
+    int32_t* combo_win,      // [nc] global pair id or -1
+    int8_t* combo_ori,       // [nc]
+    int8_t* combo_stage,     // [nc] 1..4
+    int32_t* out_combo, int32_t* out_row, int32_t* out_pos, long out_cap) {
+    long n_out = 0;
+    const long BIGJ = 1L << 60;
+    for (long ci = 0; ci < nc; ci++) {
+        combo_win[ci] = -1;
+        combo_ori[ci] = 0;
+        combo_stage[ci] = 0;
+        if (c_fb[ci]) continue;
+        const long mlo = c_mlo[ci], mcnt = c_mcnt[ci];
+        const long ps = c_pair_start[ci], pe = ps + c_pair_cnt[ci];
+        bool done = false;
+        for (long p = ps; p < pe && !done; p++) {
+            const long sg = p_seed_grow[p];
+            const long soff = p_off[p];
+            const long span = p_span[p];
+            const long slen = node_len[sg];
+            const long sg_base = node_base[sg] - g_first_row[node_g[sg]];
+            const bool seed_ok = soff < slen;
+            for (int ori = 0; ori < 2 && !done; ori++) {
+                const int8_t v_full = (int8_t)(ori * 3);
+                // stage 1: min shuffle within the seed window
+                long best_j = BIGJ;
+                if (seed_ok) {
+                    long bound = span;
+                    if (slen - 1 - soff < bound) bound = slen - 1 - soff;
+                    for (long m = mlo; m < mlo + mcnt; m++) {
+                        if (m_var[m] != v_full) continue;
+                        const int32_t spos = npos_dense[sg_base + m_row[m]];
+                        if (spos < 0) continue;
+                        const long j = (long)m_pos[m] - spos - soff;
+                        if (j >= 0 && j <= bound && j < best_j) best_j = j;
+                    }
+                }
+                int stage = 0;
+                long win_key = 0;
+                if (best_j < BIGJ) {
+                    stage = 1;
+                    win_key = best_j;
+                } else {
+                    // stage 2: contained nodes ascending x shuffles 0..10
+                    long best_key = BIGJ;
+                    const long cp = p_cn_ptr[p];
+                    const long cn = p_cn_cnt[p];
+                    for (long m = mlo; m < mlo + mcnt; m++) {
+                        if (m_var[m] != v_full) continue;
+                        for (long r = 0; r < cn; r++) {
+                            const long g = cn_grow[cp + r];
+                            const long base =
+                                node_base[g] - g_first_row[node_g[g]];
+                            const int32_t cpos = npos_dense[base + m_row[m]];
+                            if (cpos < 0) continue;
+                            const long sh = (long)m_pos[m] - cpos;
+                            long b2 = n_shuffles;
+                            if (node_len[g] - 1 < b2) b2 = node_len[g] - 1;
+                            if (sh >= 0 && sh <= b2) {
+                                const long key = r * (n_shuffles + 1) + sh;
+                                if (key < best_key) best_key = key;
+                            }
+                        }
+                    }
+                    if (best_key < BIGJ) {
+                        stage = 2;
+                        win_key = best_key;
+                    } else if (seed_ok) {
+                        // stages 3/4: clipped probes at the seed offset
+                        for (int kind = 1; kind <= 2 && !stage; kind++) {
+                            const int8_t v = (int8_t)(ori * 3 + kind);
+                            for (long m = mlo; m < mlo + mcnt; m++) {
+                                if (m_var[m] != v) continue;
+                                const int32_t spos =
+                                    npos_dense[sg_base + m_row[m]];
+                                if (spos < 0) continue;
+                                if ((long)m_pos[m] == spos + soff) {
+                                    stage = kind + 2;
+                                    break;
+                                }
+                            }
+                        }
+                    }
+                }
+                if (!stage) continue;
+                // collect ids of the winning probe
+                combo_win[ci] = (int32_t)p;
+                combo_ori[ci] = (int8_t)ori;
+                combo_stage[ci] = (int8_t)stage;
+                const int8_t v_want =
+                    (int8_t)(ori * 3 + (stage >= 3 ? stage - 2 : 0));
+                for (long m = mlo; m < mlo + mcnt; m++) {
+                    if (m_var[m] != v_want) continue;
+                    bool hit = false;
+                    if (stage == 1 || stage >= 3) {
+                        const int32_t spos = npos_dense[sg_base + m_row[m]];
+                        if (spos >= 0) {
+                            const long want =
+                                stage == 1 ? spos + soff + win_key
+                                           : spos + soff;
+                            hit = (long)m_pos[m] == want;
+                        }
+                    } else {  // stage 2
+                        const long r = win_key / (n_shuffles + 1);
+                        const long sh = win_key % (n_shuffles + 1);
+                        const long g = cn_grow[p_cn_ptr[p] + r];
+                        const long base =
+                            node_base[g] - g_first_row[node_g[g]];
+                        const int32_t cpos = npos_dense[base + m_row[m]];
+                        hit = cpos >= 0 && (long)m_pos[m] == cpos + sh;
+                    }
+                    if (hit && n_out < out_cap) {
+                        out_combo[n_out] = (int32_t)ci;
+                        out_row[n_out] = m_row[m];
+                        out_pos[n_out] = m_pos[m];
+                        n_out++;
+                    }
+                }
+                done = true;
+            }
+        }
+    }
+    return n_out;
+}
