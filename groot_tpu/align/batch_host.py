@@ -32,6 +32,25 @@ class WindowTables:
     """Dense per-window arrays (index = window id, as in ContainmentIndex)."""
 
     def __init__(self, index, store: Dict[int, GrootGraph]):
+        # global node rows: dense numbering of (graph, segment)
+        node_row: Dict[Tuple[int, int], int] = {}
+        rows: List[Tuple[int, int]] = []
+        node_lens: List[float] = []
+        for gid in sorted(store):
+            for node in store[gid].sorted_nodes:
+                node_row[(gid, node.segment_id)] = len(rows)
+                rows.append((gid, node.segment_id))
+                node_lens.append(node.segment_length)
+        self.node_table = np.array(rows, dtype=np.int64)  # [Nn, 2]
+        self.num_nodes = len(rows)
+        self.graph_ids = np.array(sorted(store), dtype=np.int64)
+        node_len_f = np.array(node_lens, dtype=np.float64)
+
+        soa = getattr(index, "soa", None)
+        if soa is not None:
+            self._init_from_soa(soa, node_row, node_len_f)
+            return
+
         keys = index.keys
         N = len(keys)
         self.num_windows = N
@@ -41,17 +60,6 @@ class WindowTables:
         self.w_span = np.empty(N, dtype=np.int32)   # merge_span + window_size
         self.w_multi = np.empty(N, dtype=bool)
         self.w_seed_grow = np.empty(N, dtype=np.int64)  # seed's global node row
-
-        # global node rows: dense numbering of (graph, segment)
-        node_row: Dict[Tuple[int, int], int] = {}
-        rows: List[Tuple[int, int]] = []
-        for gid in sorted(store):
-            for node in store[gid].sorted_nodes:
-                node_row[(gid, node.segment_id)] = len(rows)
-                rows.append((gid, node.segment_id))
-        self.node_table = np.array(rows, dtype=np.int64)  # [Nn, 2]
-        self.num_nodes = len(rows)
-        self.graph_ids = np.array(sorted(store), dtype=np.int64)
 
         # contained-nodes CSR: per window, ascending segment id (the
         # deterministic stand-in for Go's random map order, SURVEY §7.3)
@@ -87,6 +95,42 @@ class WindowTables:
         self.cn_grow = np.concatenate(cn_grow) if cn_grow else np.empty(0, np.int64)
         self.cn_share = np.concatenate(cn_share) if cn_share else np.empty(0)
         self.cn_cnt = np.diff(cn_ptr).astype(np.int32)
+
+    def _init_from_soa(self, soa, node_row, node_len_f) -> None:
+        """Vectorized build from the v2 index's struct-of-arrays (the
+        per-Key Python loop above costs seconds on 200k+ windows)."""
+        N = len(soa["w_graph"])
+        self.num_windows = N
+        self.w_graph = soa["w_graph"].astype(np.int32)
+        self.w_node = soa["w_node"].astype(np.int64)
+        self.w_off = soa["w_off"].astype(np.int32)
+        self.w_span = (soa["w_merge_span"] + soa["w_window_size"]).astype(
+            np.int32
+        )
+        self.cn_ptr = soa["cn_ptr"].astype(np.int64)
+        self.cn_cnt = np.diff(self.cn_ptr).astype(np.int32)
+        self.w_multi = self.cn_cnt > 1
+        # vectorized (gid, seg) -> grow: searchsorted over packed keys
+        S = int(self.node_table[:, 1].max()) + 2 if self.num_nodes else 2
+        nt_key = self.node_table[:, 0] * S + self.node_table[:, 1]
+        nt_order = np.argsort(nt_key, kind="stable")
+        nt_sorted = nt_key[nt_order]
+
+        def grow_of(gids, segs):
+            key = gids.astype(np.int64) * S + segs.astype(np.int64)
+            return nt_order[np.searchsorted(nt_sorted, key)]
+
+        self.w_seed_grow = grow_of(soa["w_graph"], soa["w_node"])
+        gid_per_entry = np.repeat(soa["w_graph"], self.cn_cnt)
+        self.cn_grow = grow_of(gid_per_entry, soa["cn_seg"])
+        lens = node_len_f[self.cn_grow]
+        counts = soa["cn_val"].astype(np.float64)
+        len_sums = np.add.reduceat(
+            lens, self.cn_ptr[:-1], dtype=np.float64
+        ) if N else np.empty(0)
+        share = (lens / np.repeat(len_sums, self.cn_cnt)) * counts
+        share[np.repeat(self.cn_cnt == 1, self.cn_cnt)] = 1.0
+        self.cn_share = share
 
 
 def csr_expand(ptr: np.ndarray, cnt: np.ndarray, sel: np.ndarray):

@@ -118,6 +118,63 @@ class HashAligner:
             tab[src] = dst
         self._rc_trans = bytes(tab)
 
+    # array attributes persisted in the groot.align sidecar
+    _ARRAYS = (
+        "path_graph", "path_pid", "path_len", "tfree", "flat_start",
+        "flat_codes", "rpow", "rinv", "ph", "ph_start", "nrow",
+        "npos_gi", "npos_row", "npos_pos",
+        "anchor_hash", "anchor_row", "anchor_pos",
+        "len_mix", "g_mix", "mini_hash", "mini_row", "mini_pos", "mini_typ",
+        "node_len", "node_g", "g_first_row", "node_base", "npos_dense",
+        "ref_id_by_prow",
+    )
+
+    _WT_ARRAYS = (
+        "node_table", "graph_ids", "w_graph", "w_node", "w_off", "w_span",
+        "w_multi", "w_seed_grow", "cn_ptr", "cn_grow", "cn_share", "cn_cnt",
+    )
+
+    def save_arrays(self, path: str) -> None:
+        """Persist the setup arrays (pure functions of the index + k) plus
+        the WindowTables arrays, so align skips the per-graph
+        packing/hashing entirely (the groot.align sidecar)."""
+        payload = {name: getattr(self, name) for name in self._ARRAYS}
+        for name in self._WT_ARRAYS:
+            payload["wt_" + name] = getattr(self.tables, name)
+        payload["_scalars"] = np.array(
+            [self.R, self.G, self.k, self._pos_bits], dtype=np.int64
+        )
+        tmp = path + ".tmp.npz"
+        with open(tmp, "wb") as fh:
+            np.savez(fh, **payload)
+        os.replace(tmp, path)
+
+    def try_load(self, index, path: str):
+        """Load the groot.align sidecar; returns the reconstructed
+        WindowTables, or None when absent/stale."""
+        from .batch_host import WindowTables
+
+        try:
+            data = np.load(path)
+        except (OSError, ValueError):
+            return None
+        need = set(self._ARRAYS) | {"wt_" + n for n in self._WT_ARRAYS}
+        if need - set(data.files):
+            return None
+        for name in self._ARRAYS:
+            setattr(self, name, data[name])
+        self.R, self.G, self.k, self._pos_bits = (
+            int(x) for x in data["_scalars"]
+        )
+        tables = WindowTables.__new__(WindowTables)
+        for name in self._WT_ARRAYS:
+            setattr(tables, name, data["wt_" + name])
+        tables.num_windows = len(tables.w_graph)
+        tables.num_nodes = len(tables.node_table)
+        self.tables = tables
+        self.keys = index.keys
+        return tables
+
     # ------------------------------------------------------------------
     # setup
     # ------------------------------------------------------------------
@@ -389,6 +446,16 @@ class HashAligner:
         n = len(cand_b)
         if n == 0:
             return np.zeros(0, dtype=bool)
+        if not os.environ.get("GROOT_NO_NATIVE_CASCADE"):
+            from ..io import native
+
+            out = native.verify(
+                cand_b, cand_v, cand_row, cand_pos, codes, rc, lengths,
+                self.path_len, self.flat_start, self.flat_codes,
+                self.tfree.astype(np.uint8),
+            )
+            if out is not None:
+                return out
         L = codes.shape[1]
         eff = lengths[cand_b] - (cand_v % 3 != 0)
         cs = (cand_v % 3 == 1).astype(np.int64)

@@ -247,6 +247,9 @@ def cmd_align(args) -> int:
     log.info("loading the graphs...")
     log.info("\tnumber of variation graphs: %d", len(info.store))
     log.info("rebuilding the LSH Ensemble...")
+    # the index may have been moved since it was built: the groot.align
+    # sidecar cache lives wherever the index now is
+    info.index_dir = args.indexDir
     index = ContainmentIndex.load(os.path.join(args.indexDir, "groot.lshe"))
     info.attach_db(index)
     info.num_proc = args.processors

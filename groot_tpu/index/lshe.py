@@ -76,6 +76,41 @@ def _mix_bands_jax(hi, lo, K: int) -> jnp.ndarray:
     return h
 
 
+class _KeysView:
+    """Sequence view over the struct-of-arrays index: materialises Key
+    objects lazily (only LSH-hit windows ever need one — the fallback
+    aligner and the legacy dict query path)."""
+
+    def __init__(self, soa: dict):
+        self._soa = soa
+
+    def __len__(self) -> int:
+        return len(self._soa["w_graph"])
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return [self[j] for j in range(*i.indices(len(self)))]
+        s = self._soa
+        lo, hi = int(s["cn_ptr"][i]), int(s["cn_ptr"][i + 1])
+        rlo, rhi = int(s["ref_ptr"][i]), int(s["ref_ptr"][i + 1])
+        return Key(
+            graph_id=int(s["w_graph"][i]),
+            node=int(s["w_node"][i]),
+            offset=int(s["w_off"][i]),
+            contained_nodes=dict(
+                zip(s["cn_seg"][lo:hi].tolist(), s["cn_val"][lo:hi].tolist())
+            ),
+            ref=s["ref_ids"][rlo:rhi].tolist(),
+            sketch=s["sketches"][i],
+            merge_span=int(s["w_merge_span"][i]),
+            window_size=int(s["w_window_size"][i]),
+        )
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+
 @dataclass
 class ContainmentIndex:
     num_part: int
@@ -109,6 +144,8 @@ class ContainmentIndex:
     def prepare(self) -> None:
         """Build sorted band tables (reference defers LSH build to Load,
         lshe.go:108-147; we build once and serialise the tables)."""
+        if self._tables is not None and self.sketches is not None:
+            return  # v2 load: tables came from disk
         if not self.keys:
             raise ValueError("loaded an empty index file")
         self.sketches = np.stack([k.sketch for k in self.keys])
@@ -209,11 +246,45 @@ class ContainmentIndex:
                 sketch_hi, sketch_lo, query_sizes, threshold
             )
         B = int(sketch_hi.shape[0])
-        K = self.optimal_k(int(np.min(query_sizes)) if B else 1, threshold)
-        t = self._tables[K]
         hi = np.asarray(sketch_hi)
         lo = np.asarray(sketch_lo)
         q64 = (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
+
+        # Full-equality fast path: containment = j(q+d)/((1+j)q) with
+        # j = eq/s, so `contain > t` needs eq > s*t*q/(q+d-t*q). Whenever
+        # that bound is >= s-1 for every read in the batch (true for groot's
+        # standard t=0.99 with q ~ d), a hit requires ALL s slots equal —
+        # the banded LSH collapses to an exact join on a full-sketch hash.
+        s = self.sketch_size
+        qs_all = np.asarray(query_sizes, np.float64)
+        d = float(self.num_window_kmers)
+        eq_bound = s * threshold * qs_all / (qs_all + d - threshold * qs_all)
+        if np.all(eq_bound >= s - 1):
+            if not hasattr(self, "_full_table"):
+                fs = _mix_bands_np(self.sketches, s)[:, 0]  # [N]
+                order = np.argsort(fs, kind="stable")
+                self._full_table = (fs[order], order.astype(np.int64))
+            fsig, forder = self._full_table
+            qsig = _mix_bands_np(q64, s)[:, 0]
+            lo_i = np.searchsorted(fsig, qsig, side="left")
+            hi_i = np.searchsorted(fsig, qsig, side="right")
+            cnt = (hi_i - lo_i).astype(np.int64)
+            total = int(cnt.sum())
+            if total == 0:
+                return np.empty(0, np.int64), np.empty(0, np.int64)
+            rows = np.repeat(np.arange(B), cnt)
+            starts = np.concatenate(([0], np.cumsum(cnt[:-1])))
+            ai = lo_i[rows] + (np.arange(total) - starts[rows])
+            cands = forder[ai]
+            # exact verify (32-bit mix collisions) + the contain>t bound
+            full_eq = (self.sketches[cands] == q64[rows]).all(axis=1)
+            qs_c = qs_all[rows]
+            contain = (qs_c + d) / (2.0 * qs_c)
+            keep = full_eq & (contain > threshold)
+            return rows[keep], cands[keep]
+
+        K = self.optimal_k(int(np.min(query_sizes)) if B else 1, threshold)
+        t = self._tables[K]
         sigs = _mix_bands_np(q64, K)  # [B, L]
         sorted_sigs = t["sorted_sigs"]  # [L, N]
         idx = t["idx"]
@@ -276,26 +347,57 @@ class ContainmentIndex:
     # ------------------------------------------------------------------
     # serialisation (groot.lshe equivalent)
     # ------------------------------------------------------------------
+    def _to_soa(self) -> dict:
+        """Flatten the Key list into struct-of-arrays (one-time, at dump)."""
+        keys = self.keys
+        N = len(keys)
+        cn_ptr = np.zeros(N + 1, dtype=np.int64)
+        ref_ptr = np.zeros(N + 1, dtype=np.int64)
+        for i, k in enumerate(keys):
+            cn_ptr[i + 1] = cn_ptr[i] + len(k.contained_nodes)
+            ref_ptr[i + 1] = ref_ptr[i] + len(k.ref)
+        cn_seg = np.empty(int(cn_ptr[-1]), dtype=np.int64)
+        cn_val = np.empty(int(cn_ptr[-1]), dtype=np.float64)
+        ref_ids = np.empty(int(ref_ptr[-1]), dtype=np.int64)
+        for i, k in enumerate(keys):
+            items = sorted(k.contained_nodes.items())
+            o = cn_ptr[i]
+            for j, (seg, val) in enumerate(items):
+                cn_seg[o + j] = seg
+                cn_val[o + j] = val
+            ref_ids[ref_ptr[i] : ref_ptr[i + 1]] = k.ref
+        return {
+            "w_graph": np.array([k.graph_id for k in keys], np.int64),
+            "w_node": np.array([k.node for k in keys], np.int64),
+            "w_off": np.array([k.offset for k in keys], np.int32),
+            "w_merge_span": np.array([k.merge_span for k in keys], np.int32),
+            "w_window_size": np.array(
+                [k.window_size for k in keys], np.int32
+            ),
+            "cn_ptr": cn_ptr,
+            "cn_seg": cn_seg,
+            "cn_val": cn_val,
+            "ref_ptr": ref_ptr,
+            "ref_ids": ref_ids,
+            "sketches": np.stack([k.sketch for k in keys]),
+        }
+
     def dump(self, file_path: str) -> None:
+        """Format v2: struct-of-arrays + prebuilt band tables. Loading is
+        array reads — the reference gob-decodes a Go object graph and
+        re-bootstraps the LSH on every load (lshe.go:108-147); v1 of this
+        file did the same with 200k+ pickled Key objects (~15s load)."""
+        if self._tables is None:
+            self.prepare()
         payload = {
+            "version": 2,
             "num_part": self.num_part,
             "max_k": self.max_k,
             "num_window_kmers": self.num_window_kmers,
             "sketch_size": self.sketch_size,
-            "window_keys": self.window_keys,
-            "keys": [
-                {
-                    "graph_id": k.graph_id,
-                    "node": k.node,
-                    "offset": k.offset,
-                    "contained_nodes": k.contained_nodes,
-                    "ref": k.ref,
-                    "merge_span": k.merge_span,
-                    "window_size": k.window_size,
-                    "sketch": k.sketch,
-                }
-                for k in self.keys
-            ],
+            "window_keys": "\n".join(self.window_keys).encode(),
+            "soa": self._to_soa(),
+            "tables": self._tables,
         }
         with open(file_path, "wb") as fh:
             pickle.dump(payload, fh, protocol=4)
@@ -312,6 +414,24 @@ class ContainmentIndex:
             num_window_kmers=payload["num_window_kmers"],
             sketch_size=payload["sketch_size"],
         )
+        if payload.get("version", 1) >= 2:
+            self.window_keys = payload["window_keys"].decode().split("\n")
+            self.soa = payload["soa"]
+            self.sketches = self.soa["sketches"]
+            if len(self.sketches) == 0:
+                raise ValueError("loaded an empty index file")
+            self.keys = _KeysView(self.soa)
+            self._tables = payload["tables"]
+            shi, slo = u64.from_np(self.sketches)
+            self._dev = {
+                "hi": shi,
+                "lo": slo,
+                "graph_ids": jnp.asarray(
+                    self.soa["w_graph"].astype(np.int32)
+                ),
+            }
+            return self
+        # legacy v1 payload (pickled Key dicts)
         self.window_keys = payload["window_keys"]
         self.keys = [
             Key(

@@ -355,6 +355,33 @@ class BamWriter:
         hv[:, 6] = np.uint32(0xFFFFFFFF)  # next_refID = -1
         hv[:, 7] = np.uint32(0xFFFFFFFF)  # next_pos = -1
         hv[:, 8] = 0                      # tlen
+
+        from . import native
+
+        g_cs32 = start_clips[group_of].astype(np.uint32)
+        g_ce32 = end_clips[group_of].astype(np.uint32)
+        seq32 = r_seq_len.astype(np.uint32)
+        # compact cigar rows: [H(cs)] M [H(ce)] shifted to the row start
+        has_cs = g_cs32 > 0
+        has_ce = g_ce32 > 0
+        cigc = np.zeros((N, 3), dtype=np.uint32)
+        cigc[:, 0] = np.where(has_cs, (g_cs32 << 4) | 5, (seq32 << 4))
+        cigc[:, 1] = np.where(
+            has_cs, (seq32 << 4), np.where(has_ce, (g_ce32 << 4) | 5, 0)
+        )
+        cigc[:, 2] = np.where(has_cs & has_ce, (g_ce32 << 4) | 5, 0)
+        filled = native.bam_fill(
+            off[:-1], hv, name_off[group_of], r_name_len, name_buf,
+            cigc, r_ncig.astype(np.uint8),
+            nib_off[group_of], r_nib_len, nib_buf,
+            seq_off[group_of], r_seq_len, qual_buf,
+            total,
+        )
+        if filled is not None:
+            self.bgzf.write(filled.tobytes())
+            self.count += N
+            return
+
         idx36 = off[:-1, None] + np.arange(36)[None, :]
         buf[idx36.reshape(-1)] = hdr.reshape(-1)
 

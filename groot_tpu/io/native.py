@@ -72,6 +72,22 @@ def _load() -> Optional[ctypes.CDLL]:
             _I32P, _I8P, _I8P,                        # combo outputs
             _I32P, _I32P, _I32P, _LONG,               # ids out
         ]
+        lib.gio_verify.restype = None
+        lib.gio_verify.argtypes = [
+            _LONG, _LP, _I8P, _LP, _LP,
+            _U8P, _U8P, _LONG, _LP,
+            _I32P, _LP, _U8P, _U8P, _U8P,
+        ]
+        _U32P = np.ctypeslib.ndpointer(dtype=np.uint32, flags="C_CONTIGUOUS")
+        lib.gio_bam_fill.restype = None
+        lib.gio_bam_fill.argtypes = [
+            _LONG, _LP, _U32P,
+            _LP, _LP, _U8P,
+            _U32P, _U8P,
+            _LP, _LP, _U8P,
+            _LP, _LP, _U8P,
+            _U8P,
+        ]
         _lib = lib
     except OSError as e:  # pragma: no cover
         log.debug("native load failed: %s", e)
@@ -218,6 +234,61 @@ def cascade(
         out_row[:n],
         out_pos[:n],
     )
+
+
+def verify(cand_b, cand_v, cand_row, cand_pos, codes, rc, lengths,
+           path_len, flat_start, flat_codes, tfree):
+    """Native wildcard byte verification; None if unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "gio_verify"):
+        return None
+    n = len(cand_b)
+    out = np.empty(n, np.uint8)
+    codes = np.ascontiguousarray(codes, np.uint8)
+    rc = np.ascontiguousarray(rc, np.uint8)
+    lib.gio_verify(
+        n,
+        np.ascontiguousarray(cand_b, np.int64),
+        np.ascontiguousarray(cand_v, np.int8),
+        np.ascontiguousarray(cand_row, np.int64),
+        np.ascontiguousarray(cand_pos, np.int64),
+        codes, rc, codes.shape[1],
+        np.ascontiguousarray(lengths, np.int64),
+        np.ascontiguousarray(path_len, np.int32),
+        np.ascontiguousarray(flat_start, np.int64),
+        np.ascontiguousarray(flat_codes, np.uint8),
+        np.ascontiguousarray(tfree, np.uint8),
+        out,
+    )
+    return out.astype(bool)
+
+
+def bam_fill(off, hdr, name_off, name_len, name_buf, cig, ncig,
+             nib_off, nib_len, nib_buf, qual_off, qual_len, qual_buf,
+             total: int):
+    """Native BAM record buffer assembly; None if unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "gio_bam_fill"):
+        return None
+    out = np.empty(total, np.uint8)
+    lib.gio_bam_fill(
+        len(off),
+        np.ascontiguousarray(off, np.int64),
+        np.ascontiguousarray(hdr, np.uint32),
+        np.ascontiguousarray(name_off, np.int64),
+        np.ascontiguousarray(name_len, np.int64),
+        np.ascontiguousarray(name_buf, np.uint8),
+        np.ascontiguousarray(cig, np.uint32),
+        np.ascontiguousarray(ncig, np.uint8),
+        np.ascontiguousarray(nib_off, np.int64),
+        np.ascontiguousarray(nib_len, np.int64),
+        np.ascontiguousarray(nib_buf, np.uint8),
+        np.ascontiguousarray(qual_off, np.int64),
+        np.ascontiguousarray(qual_len, np.int64),
+        np.ascontiguousarray(qual_buf, np.uint8),
+        out,
+    )
+    return out
 
 
 def bgzf_block(data: bytes) -> Optional[bytes]:

@@ -131,6 +131,53 @@ def khf_sketch_np(codes: np.ndarray, k: int, s: int) -> np.ndarray:
     return multihash_np(c, k, s).min(axis=0)
 
 
+def khf_sketch_np_batch(
+    codes: np.ndarray, valid_len: np.ndarray, k: int, s: int
+) -> np.ndarray:
+    """Batched host KHF sketching: u8 codes [B, L] (+ per-row valid length)
+    -> u64 sketches [B, s]. Same rotate-normalised prefix-XOR formulation as
+    the Pallas kernel, with np.bitwise_xor.accumulate as the scan — O(L)
+    work per read, no device round trip. Rows shorter than k sketch to
+    all-ones (never match anything)."""
+    codes = np.asarray(codes, dtype=np.uint8)
+    valid_len = np.asarray(valid_len, dtype=np.int64)
+    B, L = codes.shape
+    FULL = np.uint64(0xFFFFFFFFFFFFFFFF)
+    m = (np.arange(L, dtype=np.uint64)) % np.uint64(64)
+    with np.errstate(over="ignore"):
+        # position-rotated seed streams
+        t = _rol_np(SEEDS_NP[codes], np.uint64(64) - m)   # ror(seed, m)
+        u_ = _rol_np(SEEDS_RC_NP[codes], m)               # rol(seed_rc, m)
+        X = np.bitwise_xor.accumulate(t, axis=1)
+        Y = np.bitwise_xor.accumulate(u_, axis=1)
+        nk = L - k + 1
+        if nk <= 0:
+            return np.full((B, s), FULL, dtype=np.uint64)
+        # W[i] = X[i+k-1] ^ X[i-1]  (X[-1] = 0)
+        wx = X[:, k - 1 :].copy()
+        wx[:, 1:] ^= X[:, : nk - 1]
+        wy = Y[:, k - 1 :].copy()
+        wy[:, 1:] ^= Y[:, : nk - 1]
+        lane = np.arange(nk, dtype=np.uint64)
+        fwd = _rol_np(wx, (lane + np.uint64(k - 1)) % np.uint64(64))
+        rev = _rol_np(
+            wy, (np.uint64(64) - (lane % np.uint64(64))) % np.uint64(64)
+        )
+        c = np.minimum(fwd, rev)
+        nk_valid = np.maximum(valid_len - (k - 1), 0)
+        invalid = np.arange(nk)[None, :] >= nk_valid[:, None]
+        c[invalid] = FULL
+        out = np.empty((B, s), dtype=np.uint64)
+        out[:, 0] = c.min(axis=1)
+        kseed = np.uint64(np.uint64(k) * np.uint64(MULTISEED))
+        for slot in range(1, s):
+            h = c * (np.uint64(slot) ^ kseed)
+            h ^= h >> np.uint64(MULTISHIFT)
+            h[invalid] = FULL
+            out[:, slot] = h.min(axis=1)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # JAX implementation (device)
 # ---------------------------------------------------------------------------

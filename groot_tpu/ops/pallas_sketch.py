@@ -27,10 +27,23 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from . import nthash, u64
+
+# pallas imports are deferred into the kernel builder: importing
+# jax.experimental.pallas costs ~1.7s and the default host sketch path
+# never needs it
+pl = None
+pltpu = None
+
+
+def _import_pallas():
+    global pl, pltpu
+    if pl is None:
+        from jax.experimental import pallas as _pl
+        from jax.experimental.pallas import tpu as _pltpu
+
+        pl, pltpu = _pl, _pltpu
 
 TB = 8  # reads per grid step (sublane tile)
 
@@ -183,14 +196,26 @@ def _kernel(
 
 
 def sketch_reads(codes, valid_len, k: int, s: int):
-    """Batch sketching with automatic backend dispatch: the fused Pallas
-    kernel on TPU, the XLA scan path elsewhere. Pads B to the tile size and
-    L to the lane width as needed."""
+    """Batch sketching with automatic backend dispatch. Default is the
+    batched host path (numpy prefix-XOR scans, ~0.1s per 4k reads): the
+    single-chip read stream is host-fed anyway, so a host sketch removes
+    the per-process device compile from the critical path entirely.
+    GROOT_DEVICE_SKETCH=1 selects the fused Pallas kernel on TPU (the
+    multi-chip fused step always sketches on device, parallel/device_index).
+    Pads B to the tile size and L to the lane width as needed."""
+    import os as _os
+
     import numpy as _np
 
     on_tpu = jax.default_backend() not in ("cpu", "METAL")
-    if not on_tpu:
-        return nthash.khf_sketch(codes, k, s, valid_len=jnp.asarray(valid_len))
+    if not (on_tpu and _os.environ.get("GROOT_DEVICE_SKETCH")):
+        u = nthash.khf_sketch_np_batch(
+            _np.asarray(codes), _np.asarray(valid_len), k, s
+        )
+        return (
+            (u >> _np.uint64(32)).astype(_np.uint32),
+            (u & _np.uint64(0xFFFFFFFF)).astype(_np.uint32),
+        )
     B, L = codes.shape
     Bp = -(-B // TB) * TB
     Lp = -(-L // 128) * 128
@@ -207,6 +232,7 @@ def sketch_reads(codes, valid_len, k: int, s: int):
 @partial(jax.jit, static_argnames=("k", "s", "interpret"))
 def khf_sketch_pallas(codes, valid_len, k: int, s: int, interpret: bool = False):
     """codes u8 [B, L], valid_len i32 [B] -> (hi, lo) uint32 [B, s]."""
+    _import_pallas()
     B, L = codes.shape
     assert B % TB == 0, "batch must be a multiple of the tile size"
     (fhi, flo), (rhi, rlo) = _rortabs(L)

@@ -61,26 +61,60 @@ class DeviceIndex:
                 node_row[(gid, node.segment_id)] = len(rows)
                 rows.append((gid, node.segment_id))
         N = index.num_sketches
-        Cn = max(len(k.contained_nodes) for k in index.keys)
-        win_nodes = np.full((N, Cn), -1, dtype=np.int32)
-        win_coeff = np.zeros((N, Cn), dtype=np.float32)
-        win_multi = np.zeros(N, dtype=bool)
-        for i, key in enumerate(index.keys):
-            graph = store[key.graph_id]
-            items = sorted(key.contained_nodes.items())
-            if len(items) == 1:
-                nid, _ = items[0]
-                win_nodes[i, 0] = node_row[(key.graph_id, nid)]
-                win_coeff[i, 0] = 1.0  # gets ALL the read's k-mers
-            else:
-                win_multi[i] = True
-                total_len = sum(
-                    graph.get_node(nid).segment_length for nid, _ in items
-                )
-                for j, (nid, cnt) in enumerate(items):
-                    seg_len = graph.get_node(nid).segment_length
-                    win_nodes[i, j] = node_row[(key.graph_id, nid)]
-                    win_coeff[i, j] = (seg_len / total_len) * cnt
+        soa = getattr(index, "soa", None)
+        if soa is not None:
+            # vectorized from the v2 struct-of-arrays index
+            cn_ptr = soa["cn_ptr"].astype(np.int64)
+            cn_cnt = np.diff(cn_ptr)
+            Cn = int(cn_cnt.max())
+            win_nodes = np.full((N, Cn), -1, dtype=np.int32)
+            win_coeff = np.zeros((N, Cn), dtype=np.float32)
+            win_multi = cn_cnt > 1
+            gid_e = np.repeat(soa["w_graph"], cn_cnt)
+            grow_e = np.fromiter(
+                (
+                    node_row[(int(g), int(s_))]
+                    for g, s_ in zip(gid_e, soa["cn_seg"])
+                ),
+                np.int64,
+                len(soa["cn_seg"]),
+            )
+            node_len_f = np.empty(len(rows), dtype=np.float64)
+            for (gid, seg), r in node_row.items():
+                node_len_f[r] = store[gid].get_node(seg).segment_length
+            lens = node_len_f[grow_e]
+            len_sums = np.add.reduceat(lens, cn_ptr[:-1], dtype=np.float64)
+            coeff = (lens / np.repeat(len_sums, cn_cnt)) * soa["cn_val"]
+            coeff[np.repeat(cn_cnt == 1, cn_cnt)] = 1.0
+            owner = np.repeat(np.arange(N), cn_cnt)
+            col = np.arange(len(grow_e)) - np.repeat(cn_ptr[:-1], cn_cnt)
+            win_nodes[owner, col] = grow_e
+            win_coeff[owner, col] = coeff
+            w_graph_arr = soa["w_graph"].astype(np.int32)
+        else:
+            Cn = max(len(k.contained_nodes) for k in index.keys)
+            win_nodes = np.full((N, Cn), -1, dtype=np.int32)
+            win_coeff = np.zeros((N, Cn), dtype=np.float32)
+            win_multi = np.zeros(N, dtype=bool)
+            for i, key in enumerate(index.keys):
+                graph = store[key.graph_id]
+                items = sorted(key.contained_nodes.items())
+                if len(items) == 1:
+                    nid, _ = items[0]
+                    win_nodes[i, 0] = node_row[(key.graph_id, nid)]
+                    win_coeff[i, 0] = 1.0  # gets ALL the read's k-mers
+                else:
+                    win_multi[i] = True
+                    total_len = sum(
+                        graph.get_node(nid).segment_length for nid, _ in items
+                    )
+                    for j, (nid, cnt) in enumerate(items):
+                        seg_len = graph.get_node(nid).segment_length
+                        win_nodes[i, j] = node_row[(key.graph_id, nid)]
+                        win_coeff[i, j] = (seg_len / total_len) * cnt
+            w_graph_arr = np.array(
+                [k.graph_id for k in index.keys], dtype=np.int32
+            )
         return cls(
             k=kmer_size,
             s=index.sketch_size,
@@ -94,9 +128,7 @@ class DeviceIndex:
             sk_lo=jnp.asarray(
                 (index.sketches & np.uint64(0xFFFFFFFF)).astype(np.uint32)
             ),
-            graph_ids=jnp.asarray(
-                np.array([k.graph_id for k in index.keys], dtype=np.int32)
-            ),
+            graph_ids=jnp.asarray(w_graph_arr),
             win_nodes=jnp.asarray(win_nodes),
             win_coeff=jnp.asarray(win_coeff),
             win_multi=jnp.asarray(win_multi),

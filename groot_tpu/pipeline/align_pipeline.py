@@ -210,9 +210,23 @@ def run_align(
             from ..align.hash_join import HashAligner
 
             aligner = HashAligner(info.store, references)
-            tables = WindowTables(index, info.store)
+            cache = (
+                os.path.join(info.index_dir, "groot.align")
+                if info.index_dir
+                else None
+            )
+            tables = None
+            if cache and os.path.exists(cache):
+                tables = aligner.try_load(index, cache)
+            if tables is None:
+                tables = WindowTables(index, info.store)
+                aligner.attach_tables(tables, index, k)
+                if cache:
+                    try:
+                        aligner.save_arrays(cache)
+                    except OSError:
+                        pass
             acc = WeightAccumulator(tables)
-            aligner.attach_tables(tables, index, k)
     else:
         from ..align.batch_host import WeightAccumulator, WindowTables
 

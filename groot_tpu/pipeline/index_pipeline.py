@@ -136,3 +136,18 @@ def run_index(info: Info, msa_dir: str) -> None:
     os.makedirs(info.index_dir, exist_ok=True)
     info.save_db(os.path.join(info.index_dir, "groot.lshe"))
     info.dump(os.path.join(info.index_dir, "groot.gg"))
+
+    # groot.align sidecar: the aligner's setup arrays (hash tables, node
+    # positions, BAM ref ids) are pure functions of the index, so build
+    # them once here instead of on every align startup
+    try:
+        from ..align.batch_host import WindowTables
+        from ..align.hash_join import HashAligner
+        from ..io.bam import build_references
+
+        aligner = HashAligner(info.store, build_references(info.store))
+        tables = WindowTables(index, info.store)
+        aligner.attach_tables(tables, index, info.kmer_size)
+        aligner.save_arrays(os.path.join(info.index_dir, "groot.align"))
+    except Exception as e:  # pragma: no cover - cache is best-effort
+        log.warning("could not precompute the align sidecar: %s", e)

@@ -305,3 +305,70 @@ extern "C" long gio_cascade(
     }
     return n_out;
 }
+
+// ---------------------------------------------------------------------------
+// gio_verify: wildcard-aware byte verification of candidate matches
+// (hash_join._verify_candidates): candidate (b, v, row, pos) matches iff
+// every variant base equals the path base or the path base is N(4), with
+// overhang past the path end only at terminal-free rows.
+extern "C" void gio_verify(
+    long n, const long* cand_b, const int8_t* cand_v, const long* cand_row,
+    const long* cand_pos,
+    const uint8_t* codes, const uint8_t* rc, long stride,  // [B, stride]
+    const long* lengths,
+    const int32_t* path_len, const long* flat_start,
+    const uint8_t* flat_codes, const uint8_t* tfree,
+    uint8_t* out) {
+    for (long c = 0; c < n; c++) {
+        const long b = cand_b[c];
+        const int v = cand_v[c];
+        const long eff = lengths[b] - (v % 3 != 0 ? 1 : 0);
+        const long cs = (v % 3 == 1) ? 1 : 0;
+        const uint8_t* src = (v >= 3 ? rc : codes) + b * stride + cs;
+        const long row = cand_row[c];
+        const long plen = path_len[row];
+        const long pos = cand_pos[c];
+        const uint8_t* path = flat_codes + flat_start[row] + pos;
+        long in_path = plen - pos;
+        if (in_path > eff) in_path = in_path < 0 ? 0 : eff;
+        bool ok = true;
+        for (long i = 0; i < in_path; i++) {
+            const uint8_t pb = path[i];
+            if (pb != src[i] && pb != 4) { ok = false; break; }
+        }
+        if (ok && in_path < eff && !tfree[row]) ok = false;  // overhang
+        out[c] = ok ? 1 : 0;
+    }
+}
+
+// ---------------------------------------------------------------------------
+// gio_bam_fill: assemble a batch of BAM alignment records into one buffer.
+// Per-record geometry is precomputed on the host; this is the memcpy loop
+// (the numpy index-array assembly cost ~60x more).
+extern "C" void gio_bam_fill(
+    long n_rec,
+    const long* off,            // [N] record start in out
+    const uint32_t* hdr,        // [N, 9] u32: block_size + 32-byte fixed
+    const long* name_off, const long* name_len,  // into name_buf (incl NUL)
+    const uint8_t* name_buf,
+    const uint32_t* cig,        // [N, 3]
+    const uint8_t* ncig,        // [N] 1..3
+    const long* nib_off, const long* nib_len, const uint8_t* nib_buf,
+    const long* qual_off, const long* qual_len, const uint8_t* qual_buf,
+    uint8_t* out) {
+    for (long r = 0; r < n_rec; r++) {
+        uint8_t* p = out + off[r];
+        memcpy(p, hdr + r * 9, 36);
+        p += 36;
+        memcpy(p, name_buf + name_off[r], name_len[r]);
+        p += name_len[r];
+        const uint32_t* cg = cig + r * 3;
+        for (int i = 0; i < ncig[r]; i++) {
+            memcpy(p, cg + i, 4);
+            p += 4;
+        }
+        memcpy(p, nib_buf + nib_off[r], nib_len[r]);
+        p += nib_len[r];
+        memcpy(p, qual_buf + qual_off[r], qual_len[r]);
+    }
+}

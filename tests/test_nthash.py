@@ -74,3 +74,24 @@ def test_khf_sketch_jax_matches_numpy_batched():
 def test_short_sequence_raises():
     with pytest.raises(ValueError):
         nthash.khf_sketch_np(nthash.encode_seq(b"A"), 7, 10)
+
+
+def test_khf_sketch_np_batch_matches_golden():
+    """The batched host scan (prefix-XOR) must equal the per-read O(L*k)
+    golden for ragged batches, incl. too-short rows (all-ones sketch)."""
+    rng = np.random.default_rng(7)
+    k, s = 31, 20
+    B, L = 16, 96
+    codes = rng.integers(0, 5, size=(B, L), dtype=np.uint8)
+    lens = rng.integers(20, L + 1, size=B).astype(np.int64)
+    lens[0] = L
+    lens[1] = k  # exactly one k-mer
+    lens[2] = k - 1  # too short
+    out = nthash.khf_sketch_np_batch(codes, lens, k, s)
+    FULL = np.uint64(0xFFFFFFFFFFFFFFFF)
+    for i in range(B):
+        if lens[i] < k:
+            assert (out[i] == FULL).all()
+        else:
+            golden = nthash.khf_sketch_np(codes[i, : lens[i]], k, s)
+            np.testing.assert_array_equal(out[i], golden)
