@@ -117,6 +117,7 @@ class HashAligner:
         for src, dst in zip(b"ACGTacgt", b"TGCATGCA"):
             tab[src] = dst
         self._rc_trans = bytes(tab)
+        self._rc_lut = np.frombuffer(self._rc_trans, np.uint8)
 
     # array attributes persisted in the groot.align sidecar
     _ARRAYS = (
@@ -704,12 +705,22 @@ class HashAligner:
         # need len-1 >= k); everything else, wildcards included, is hashed
         c_fb = lengths[c_read] <= k
 
-        active = np.zeros(len(codes), dtype=bool)
-        active[c_read[~c_fb]] = True
+        rc = None
+        res = None
+        if not os.environ.get("GROOT_NO_NATIVE_CASCADE"):
+            from ..io import native
 
-        m_b, m_var, m_row, m_pos, mkey, rc = self._find_matches(
-            codes, lengths, active, c_read[~c_fb], c_g[~c_fb]
-        )
+            res = native.find_matches(
+                self, codes, lengths, c_read[~c_fb], c_g[~c_fb]
+            )
+        if res is not None:
+            m_b, m_var, m_row, m_pos, mkey = res
+        else:
+            active = np.zeros(len(codes), dtype=bool)
+            active[c_read[~c_fb]] = True
+            m_b, m_var, m_row, m_pos, mkey, rc = self._find_matches(
+                codes, lengths, active, c_read[~c_fb], c_g[~c_fb]
+            )
 
         # ---- combo match segments ----------------------------------------
         ckey = c_read.astype(np.int64) * self.G + c_g
@@ -775,6 +786,12 @@ class HashAligner:
         # byte verification of every winning match (collision guard): a
         # failed combo is retried on the legacy engine
         if len(id_combo):
+            if rc is None:
+                L = codes.shape[1]
+                rev_idx = np.clip(
+                    lengths[:, None] - 1 - np.arange(L)[None, :], 0, L - 1
+                )
+                rc = RC_CODE_NP[np.take_along_axis(codes, rev_idx, 1)]
             vvar = combo_ori[id_combo] * 3 + np.where(
                 combo_cs[id_combo] == 1, 1,
                 np.where(combo_ce[id_combo] == 1, 2, 0),
@@ -976,7 +993,9 @@ class HashAligner:
     ) -> None:
         """Bulk BAM emission for all winning combos of a batch. Records of
         one combo share the read payload; rows come pid-sorted so the first
-        record per group is primary (alignment.go:140-147)."""
+        record per group is primary (alignment.go:140-147). All payload
+        extraction (orientation, clipping, quals) is vectorized over the
+        batch's concatenated byte arrays."""
         stats.alignment_count += len(id_combo)
         if bam_writer is None:
             return
@@ -985,30 +1004,46 @@ class HashAligner:
         starts = np.flatnonzero(bounds)
         grp_combo = id_combo[starts]
         group_ptr = np.append(starts, len(id_combo)).astype(np.int64)
-        names: List[bytes] = []
-        seqs: List[bytes] = []
-        quals: List[bytes] = []
-        for ci in grp_combo.tolist():
-            read = batch.read(int(c_read[ci]))
-            seq = read.seq
-            qual = read.qual
-            if combo_ori[ci]:
-                seq = seq.translate(self._rc_trans)[::-1]
-                qual = qual[::-1]
-            Lr = len(seq)
-            cs = int(combo_cs[ci])
-            ce = int(combo_ce[ci])
-            names.append(read.id[1:])
-            seqs.append(seq[cs : Lr - ce])
-            quals.append(qual[cs : Lr - ce] if qual else b"")
-        bam_writer.write_flat(
-            names,
-            seqs,
-            quals,
+
+        (idc, ido, idl, sqc, sqo, sql, quc, quo, qul) = batch.payloads()
+        rows = c_read[grp_combo]
+        G = len(rows)
+        rev = combo_ori[grp_combo] == 1
+        cs = combo_cs[grp_combo].astype(np.int64)
+        ce = combo_ce[grp_combo].astype(np.int64)
+        Lr = sql[rows]
+        out_len = Lr - cs - ce
+        out_off = np.concatenate(([0], np.cumsum(out_len[:-1])))
+        total = int(out_len.sum())
+        own = np.repeat(np.arange(G), out_len)
+        loc = np.arange(total) - out_off[own]
+        # oriented source index: fwd = off + cs + loc;
+        # rc  = off + (Lr-1) - (cs + loc)  (reverse, then complement)
+        fwd_src = sqo[rows][own] + cs[own] + loc
+        rc_src = sqo[rows][own] + (Lr[own] - 1) - (cs[own] + loc)
+        rev_b = rev[own]
+        src = np.where(rev_b, rc_src, fwd_src)
+        seq_out = sqc[src]
+        if rev.any():
+            seq_out[rev_b] = self._rc_lut[seq_out[rev_b]]
+        has_q = qul[rows] == sql[rows]
+        qual_out = np.zeros(total, np.uint8)
+        hq_b = has_q[own]
+        if has_q.any():
+            q_src = np.where(
+                rev_b, quo[rows][own] + (Lr[own] - 1) - (cs[own] + loc),
+                quo[rows][own] + cs[own] + loc,
+            )
+            qual_out[hq_b] = quc[q_src[hq_b]]
+
+        bam_writer.write_groups(
+            idc, ido[rows], idl[rows],
+            seq_out, out_off, out_len,
+            qual_out, has_q,
             group_ptr,
             self.ref_id_by_prow[id_row],
             id_pos.astype(np.int64),
-            combo_ori[grp_combo].astype(bool),
+            rev,
             combo_cs[grp_combo],
             combo_ce[grp_combo],
         )

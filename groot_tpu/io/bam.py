@@ -254,11 +254,14 @@ class BamWriter:
         self.bgzf.write(struct.pack("<I", len(body)) + body)
         self.count += 1
 
-    def write_flat(
+    def write_groups(
         self,
-        names: List[bytes],     # per group (no NUL)
-        seqs: List[bytes],      # per group: oriented + clipped bases
-        quals: List[bytes],     # per group: oriented + clipped (b"" = none)
+        name_buf,               # u8 cat of group names (no NUL, no '@')
+        name_off, name_lens,    # i64 [G] into name_buf (length excl NUL)
+        seq_buf,                # u8 cat of oriented+clipped bases (ASCII)
+        seq_off, seq_len,       # i64 [G]
+        qual_buf,               # u8 cat, same layout as seq_buf
+        has_q,                  # bool [G] (False -> QUAL = 0xFF fill)
         group_ptr,              # i64 [G+1] record span per group
         ref_ids,                # i32 [N] per record
         poss,                   # i64 [N] per record
@@ -271,48 +274,50 @@ class BamWriter:
         name/SEQ/QUAL and differ only in ref/pos/secondary flag). ~50x the
         per-record write() path — the reference's BAM writer is a goroutine
         draining a channel (boss.go:225-241); here the batch IS the unit."""
-        G = len(names)
+        G = len(name_off)
         N = int(group_ptr[-1])
         if N == 0:
             return
         group_of = np.repeat(np.arange(G), np.diff(group_ptr))
-        name_len = np.fromiter(
-            (len(n) + 1 for n in names), np.int64, G
-        )  # + NUL
-        seq_len = np.fromiter((len(s) for s in seqs), np.int64, G)
+        name_len = np.asarray(name_lens, np.int64) + 1  # + NUL
+        seq_len = np.asarray(seq_len, np.int64)
         nib_len = (seq_len + 1) // 2
         ncig = 1 + (start_clips > 0) + (end_clips > 0)  # [G]
 
-        # --- per-group byte payloads -----------------------------------
-        name_buf = np.frombuffer(
-            b"\x00".join(names) + b"\x00", dtype=np.uint8
-        )
-        name_off = np.concatenate(([0], np.cumsum(name_len[:-1])))
-        seq_cat = b"".join(seqs)
-        nib_all = _NIB_LUT[np.frombuffer(seq_cat, dtype=np.uint8)]
-        seq_off = np.concatenate(([0], np.cumsum(seq_len[:-1])))
+        # --- per-group byte payloads -------------------------------------
+        # NUL-terminated name cat (zeros left in the gaps are the NULs)
+        nbuf = np.zeros(int(name_len.sum()), dtype=np.uint8)
+        noff = np.concatenate(([0], np.cumsum(name_len[:-1])))
+        own = np.repeat(np.arange(G), name_len - 1)
+        starts = np.concatenate(([0], np.cumsum(name_len[:-1] - 1)))
+        loc = np.arange(int((name_len - 1).sum())) - starts[own]
+        nbuf[noff[own] + loc] = name_buf[
+            np.asarray(name_off, np.int64)[own] + loc
+        ]
+        name_buf, name_off = nbuf, noff
+
+        seq_off = np.asarray(seq_off, np.int64)
+        nib_all = _NIB_LUT[seq_buf]
         # pack nibbles per group (group-local even/odd pairing); each
-        # destination byte is written once per parity class, so plain
-        # fancy assignment + OR replaces the (slow) ufunc.at path
+        # destination byte is written once per parity class
         nib_buf = np.zeros(int(nib_len.sum()), dtype=np.uint8)
         nib_off = np.concatenate(([0], np.cumsum(nib_len[:-1])))
         base_grp = np.repeat(np.arange(G), seq_len)
-        base_loc = np.arange(len(nib_all)) - seq_off[base_grp]
+        base_loc = np.arange(int(seq_len.sum())) - seq_off[base_grp]
         dst = nib_off[base_grp] + (base_loc >> 1)
         hi_mask = (base_loc & 1) == 0
-        nib_buf[dst[hi_mask]] = nib_all[hi_mask] << 4
+        src_idx = seq_off[base_grp] + base_loc
+        nib_buf[dst[hi_mask]] = nib_all[src_idx[hi_mask]] << 4
         lo_dst = dst[~hi_mask]
-        nib_buf[lo_dst] = nib_buf[lo_dst] | nib_all[~hi_mask]
-        # qual (0xff when a group has none), group-local
-        has_q = np.fromiter((len(q) > 0 for q in quals), bool, G)
-        qual_buf = np.full(int(seq_len.sum()), 0xFF, dtype=np.uint8)
-        if has_q.any():
-            qcat = np.frombuffer(b"".join(quals), dtype=np.uint8)
-            qv = np.maximum(qcat.astype(np.int16) - 33, 0).astype(np.uint8)
-            # destination positions: groups with quals, in order
-            keep = has_q[base_grp]
-            qual_buf[np.flatnonzero(keep)] = qv
-        qual_buf = qual_buf.reshape(-1)
+        nib_buf[lo_dst] = nib_buf[lo_dst] | nib_all[src_idx[~hi_mask]]
+        # qual (0xff when a group has none)
+        qual_out = np.maximum(
+            qual_buf.astype(np.int16) - 33, 0
+        ).astype(np.uint8)
+        noq = ~np.asarray(has_q, bool)
+        if noq.any():
+            qual_out[src_idx[noq[base_grp]]] = 0xFF
+        qual_buf = qual_out
 
         # --- per-record geometry -----------------------------------------
         r_name_len = name_len[group_of]

@@ -72,6 +72,27 @@ def _load() -> Optional[ctypes.CDLL]:
             _I32P, _I8P, _I8P,                        # combo outputs
             _I32P, _I32P, _I32P, _LONG,               # ids out
         ]
+        _U64P = np.ctypeslib.ndpointer(dtype=np.uint64, flags="C_CONTIGUOUS")
+        lib.gio_sketch.restype = None
+        lib.gio_sketch.argtypes = [
+            _U8P, _LONG, _LONG, _LP, _LONG, _LONG, _U64P,
+        ]
+        _I64P = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
+        _I8P_ = np.ctypeslib.ndpointer(dtype=np.int8, flags="C_CONTIGUOUS")
+        _I32P_ = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
+        lib.gio_find_matches.restype = _LONG
+        lib.gio_find_matches.argtypes = [
+            _U8P, _LONG, _LONG, _LP, _LONG,          # reads
+            _LONG, _LP, _LP,                          # combos
+            _U64P, _U64P, _U64P, _LP,                 # rpow rinv ph ph_start
+            _I32P_, _LP, _U8P, _U8P, _U8P, _I32P_,    # path data
+            _LONG, _U64P, _I32P_, _I32P_,             # anchors
+            _LONG, _U64P, _I32P_, _I32P_, _I8P_,      # mini
+            _U64P, _U64P,                             # len_mix g_mix
+            _LONG, _LP, _I32P_, _I32P_,               # npos
+            _LONG,                                    # G
+            _LP, _I8P_, _I32P_, _I32P_, _I64P, _LONG,  # out
+        ]
         lib.gio_verify.restype = None
         lib.gio_verify.argtypes = [
             _LONG, _LP, _I8P, _LP, _LP,
@@ -234,6 +255,74 @@ def cascade(
         out_row[:n],
         out_pos[:n],
     )
+
+
+def sketch(codes, valid_len, k: int, s: int):
+    """Native canonical ntHash KHF sketching -> u64 [B, s]; None if the
+    library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "gio_sketch"):
+        return None
+    codes = np.ascontiguousarray(codes, np.uint8)
+    B, L = codes.shape
+    out = np.empty((B, s), np.uint64)
+    lib.gio_sketch(
+        codes, B, L, np.ascontiguousarray(valid_len, np.int64), k, s, out
+    )
+    return out
+
+
+def find_matches(aligner, codes, lengths, c_read, c_g):
+    """Native hash-join candidate search (gio_find_matches); returns
+    (m_b, m_var, m_row, m_pos, m_key) sorted by (read, graph), or None."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "gio_find_matches"):
+        return None
+    a = aligner
+    codes = np.ascontiguousarray(codes, np.uint8)
+    B, L = codes.shape
+    cap = max(len(c_read) * 64, 1 << 20)
+    for _attempt in range(4):
+        m_b = np.empty(cap, np.int64)
+        m_var = np.empty(cap, np.int8)
+        m_row = np.empty(cap, np.int32)
+        m_pos = np.empty(cap, np.int32)
+        m_key = np.empty(cap, np.int64)
+        n = lib.gio_find_matches(
+            codes, B, L,
+            np.ascontiguousarray(lengths, np.int64), a.k,
+            len(c_read),
+            np.ascontiguousarray(c_read, np.int64),
+            np.ascontiguousarray(c_g, np.int64),
+            a.rpow, a.rinv, a.ph,
+            np.ascontiguousarray(a.ph_start, np.int64),
+            np.ascontiguousarray(a.path_len, np.int32),
+            np.ascontiguousarray(a.flat_start, np.int64),
+            a.flat_codes,
+            np.ascontiguousarray(a.tfree, np.uint8),
+            np.ascontiguousarray(a.nrow, np.uint8),
+            np.ascontiguousarray(a.path_graph, np.int32),
+            len(a.anchor_hash), a.anchor_hash,
+            np.ascontiguousarray(a.anchor_row, np.int32),
+            np.ascontiguousarray(a.anchor_pos, np.int32),
+            len(a.mini_hash), a.mini_hash,
+            np.ascontiguousarray(a.mini_row, np.int32),
+            np.ascontiguousarray(a.mini_pos, np.int32),
+            np.ascontiguousarray(a.mini_typ, np.int8),
+            a.len_mix, a.g_mix,
+            len(a.npos_gi),
+            np.ascontiguousarray(a.npos_gi, np.int64),
+            np.ascontiguousarray(a.npos_row, np.int32),
+            np.ascontiguousarray(a.npos_pos, np.int32),
+            a.G,
+            m_b, m_var, m_row, m_pos, m_key, cap,
+        )
+        if n == -2:
+            return None  # pathological per-read match count: numpy path
+        if n >= 0:
+            return m_b[:n], m_var[:n], m_row[:n], m_pos[:n], m_key[:n]
+        cap *= 4
+    return None
 
 
 def verify(cand_b, cand_v, cand_row, cand_pos, codes, rc, lengths,

@@ -121,6 +121,9 @@ def multihash_np(base: np.ndarray, k: int, num: int) -> np.ndarray:
     return out
 
 
+_ROTTAB_CACHE: dict = {}
+
+
 def khf_sketch_np(codes: np.ndarray, k: int, s: int) -> np.ndarray:
     """Golden KHF MinHash sketch (see groot_tpu.ops.minhash for semantics)."""
     c = canonical_hashes_np(codes, k)
@@ -143,11 +146,26 @@ def khf_sketch_np_batch(
     valid_len = np.asarray(valid_len, dtype=np.int64)
     B, L = codes.shape
     FULL = np.uint64(0xFFFFFFFFFFFFFFFF)
-    m = (np.arange(L, dtype=np.uint64)) % np.uint64(64)
     with np.errstate(over="ignore"):
-        # position-rotated seed streams
-        t = _rol_np(SEEDS_NP[codes], np.uint64(64) - m)   # ror(seed, m)
-        u_ = _rol_np(SEEDS_RC_NP[codes], m)               # rol(seed_rc, m)
+        # position-rotated seed tables [5, L], cached per L: one fancy
+        # gather replaces two full-width u64 rotate passes
+        tabs = _ROTTAB_CACHE.get(L)
+        if tabs is None:
+            m = (np.arange(L, dtype=np.uint64)) % np.uint64(64)
+            tabs = (
+                _rol_np(
+                    np.broadcast_to(SEEDS_NP[:, None], (5, L)),
+                    np.uint64(64) - m[None, :],
+                ),
+                _rol_np(
+                    np.broadcast_to(SEEDS_RC_NP[:, None], (5, L)),
+                    m[None, :],
+                ),
+            )
+            _ROTTAB_CACHE[L] = tabs
+        pos_idx = np.arange(L)
+        t = tabs[0][codes, pos_idx[None, :]]
+        u_ = tabs[1][codes, pos_idx[None, :]]
         X = np.bitwise_xor.accumulate(t, axis=1)
         Y = np.bitwise_xor.accumulate(u_, axis=1)
         nk = L - k + 1

@@ -209,9 +209,13 @@ def sketch_reads(codes, valid_len, k: int, s: int):
 
     on_tpu = jax.default_backend() not in ("cpu", "METAL")
     if not (on_tpu and _os.environ.get("GROOT_DEVICE_SKETCH")):
-        u = nthash.khf_sketch_np_batch(
-            _np.asarray(codes), _np.asarray(valid_len), k, s
-        )
+        from ..io import native as _native
+
+        u = _native.sketch(_np.asarray(codes), _np.asarray(valid_len), k, s)
+        if u is None:
+            u = nthash.khf_sketch_np_batch(
+                _np.asarray(codes), _np.asarray(valid_len), k, s
+            )
         return (
             (u >> _np.uint64(32)).astype(_np.uint32),
             (u & _np.uint64(0xFFFFFFFF)).astype(_np.uint32),

@@ -47,17 +47,75 @@ class ReadBatch:
         self._reads = reads
         self._segs = segs       # [(buf, (io, il, so, sl, qo, ql)), ...]
         if segs is not None:
-            self._seg_ends = np.cumsum([len(s[1][0]) for s in segs])
+            self._seg_ends_list = list(
+                np.cumsum([len(s[1][0]) for s in segs])
+            )
 
     @property
     def n(self) -> int:
         return self.codes.shape[0]
 
+    def payloads(self):
+        """Concatenated (id, seq, qual) byte arrays + per-read offsets for
+        bulk record emission: (id_cat, id_off, id_len, seq_cat, seq_off,
+        seq_len, qual_cat, qual_off, qual_len). id excludes the leading
+        '@'. Cached per batch."""
+        p = getattr(self, "_payloads", None)
+        if p is not None:
+            return p
+        cats = {0: [], 1: [], 2: []}
+        offs = {0: [], 1: [], 2: []}
+        lens = {0: [], 1: [], 2: []}
+        if self._reads is not None:
+            for r in self._reads:
+                for j, field in enumerate((r.id[1:], r.seq, r.qual)):
+                    cats[j].append(np.frombuffer(field, np.uint8))
+                    lens[j].append(len(field))
+            for j in range(3):
+                ln = np.array(lens[j], np.int64)
+                offs[j] = np.concatenate(([0], np.cumsum(ln[:-1])))
+                lens[j] = ln
+                cats[j] = (
+                    np.concatenate(cats[j]) if cats[j] else np.empty(0, np.uint8)
+                )
+        else:
+            for buf, (io_, il, so, sl, qo, ql) in self._segs:
+                arr = np.frombuffer(buf, np.uint8)
+                for j, (o, l, skip) in enumerate(
+                    ((io_, il, 1), (so, sl, 0), (qo, ql, 0))
+                ):
+                    l2 = (l - skip).astype(np.int64)
+                    total = int(l2.sum())
+                    own = np.repeat(np.arange(len(o)), l2)
+                    starts = np.concatenate(([0], np.cumsum(l2[:-1])))
+                    loc = np.arange(total) - starts[own]
+                    cats[j].append(arr[(o + skip)[own] + loc])
+                    lens[j].append(l2)
+            for j in range(3):
+                ln = (
+                    np.concatenate(lens[j]) if lens[j] else np.empty(0, np.int64)
+                )
+                offs[j] = np.concatenate(([0], np.cumsum(ln[:-1]))) if len(ln) else np.empty(0, np.int64)
+                lens[j] = ln
+                cats[j] = (
+                    np.concatenate(cats[j]) if cats[j] else np.empty(0, np.uint8)
+                )
+        p = (
+            cats[0], offs[0], lens[0],
+            cats[1], offs[1], lens[1],
+            cats[2], offs[2], lens[2],
+        )
+        self._payloads = p
+        return p
+
     def read(self, i: int) -> FastqRead:
         if self._reads is not None:
             return self._reads[i]
-        s = int(np.searchsorted(self._seg_ends, i, side="right"))
-        base = 0 if s == 0 else int(self._seg_ends[s - 1])
+        # bisect beats np.searchsorted by ~50x at this call granularity
+        import bisect
+
+        s = bisect.bisect_right(self._seg_ends_list, i)
+        base = 0 if s == 0 else int(self._seg_ends_list[s - 1])
         b, (io_, il, so, sl, qo, ql) = self._segs[s]
         j = i - base
         return FastqRead(

@@ -15,6 +15,7 @@
 // Exposed as a C ABI consumed via ctypes (groot_tpu/io/native.py); built by
 // native/Makefile (g++ -O3 -shared -fPIC, links zlib).
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <zlib.h>
@@ -121,7 +122,7 @@ long gio_bgzf_block(const uint8_t* data, long n, uint8_t* out, long out_cap) {
     if (n > 65280) return -1;
     z_stream zs;
     memset(&zs, 0, sizeof(zs));
-    if (deflateInit2(&zs, 6, Z_DEFLATED, -15, 8, Z_DEFAULT_STRATEGY) != Z_OK)
+    if (deflateInit2(&zs, 1, Z_DEFLATED, -15, 8, Z_DEFAULT_STRATEGY) != Z_OK)
         return -1;
     // header: 18 bytes with BC extra subfield
     uint8_t* hdr = out;
@@ -371,4 +372,329 @@ extern "C" void gio_bam_fill(
         p += nib_len[r];
         memcpy(p, qual_buf + qual_off[r], qual_len[r]);
     }
+}
+
+// ---------------------------------------------------------------------------
+// gio_sketch: canonical ntHash KHF MinHash sketching of a read batch
+// (ops/nthash.py khf_sketch_np_batch, same rotate-normalised prefix-XOR
+// form). out is u64 [B, s]; rows shorter than k sketch to all-ones.
+static const uint64_t NT_SEEDS[5] = {
+    0x3C8BFBB395C60474ULL, 0x3193C18562A02B4CULL, 0x20323ED082572324ULL,
+    0x295549F54BE24456ULL, 0x0000000000000000ULL,
+};
+static const uint64_t NT_MULTISEED = 0x90B45D39FB6DA1FAULL;
+static inline uint64_t rol64(uint64_t x, unsigned r) {
+    r &= 63;
+    return r ? (x << r) | (x >> (64 - r)) : x;
+}
+
+extern "C" void gio_sketch(
+    const uint8_t* codes, long B, long stride, const long* vlen,
+    long k, long s, uint64_t* out) {
+    static uint64_t ROTF[5][64], ROTR[5][64];
+    static bool init = false;
+    if (!init) {
+        const int rc_of[5] = {3, 2, 1, 0, 4};
+        for (int c = 0; c < 5; c++)
+            for (int m = 0; m < 64; m++) {
+                ROTF[c][m] = rol64(NT_SEEDS[c], (64 - m) & 63);  // ror m
+                ROTR[c][m] = rol64(NT_SEEDS[rc_of[c]], m);
+            }
+        init = true;
+    }
+    const uint64_t FULL = ~0ULL;
+    const uint64_t kseed = (uint64_t)k * NT_MULTISEED;
+    // per-read scratch (VLA-free: allocate max stride once)
+    uint64_t* X = new uint64_t[stride + 1];
+    uint64_t* Y = new uint64_t[stride + 1];
+    for (long b = 0; b < B; b++) {
+        uint64_t* o = out + b * s;
+        const long nk = vlen[b] - k + 1;
+        if (nk <= 0) {
+            for (long j = 0; j < s; j++) o[j] = FULL;
+            continue;
+        }
+        const uint8_t* cs = codes + b * stride;
+        X[0] = 0; Y[0] = 0;
+        const long n = vlen[b];
+        for (long i = 0; i < n; i++) {
+            X[i + 1] = X[i] ^ ROTF[cs[i]][i & 63];
+            Y[i + 1] = Y[i] ^ ROTR[cs[i]][i & 63];
+        }
+        for (long j = 0; j < s; j++) o[j] = FULL;
+        for (long i = 0; i < nk; i++) {
+            const uint64_t fwd = rol64(X[i + k] ^ X[i], (unsigned)(i + k - 1));
+            const uint64_t rev =
+                rol64(Y[i + k] ^ Y[i], (unsigned)(64 - (i & 63)));
+            const uint64_t c = fwd < rev ? fwd : rev;
+            if (c < o[0]) o[0] = c;
+            for (long m = 1; m < s; m++) {
+                uint64_t h = c * ((uint64_t)m ^ kseed);
+                h ^= h >> 27;
+                if (h < o[m]) o[m] = h;
+            }
+        }
+    }
+    delete[] X;
+    delete[] Y;
+}
+
+// ---------------------------------------------------------------------------
+// gio_find_matches: the hash-join candidate search of hash_join._find_matches
+// in one pass. For each active read: polynomial prefix hashes of the read
+// and its reverse complement, 4 anchor lookups (fwd/rc x full/clip-start;
+// clip-end shares the full prefix), O(1) hash verification per candidate
+// (interior / >=k overhang), and per-combo mini joins (<k overhangs at
+// terminal-free ends, N-crossing segments, q=0 probes at path Ns) with
+// wildcard byte verification. Emits matches sorted by (read, graph).
+// Returns the match count, or -1 if out_cap was too small.
+static inline bool gio_bverify(
+    const uint8_t* var, long eff, const uint8_t* flat_codes,
+    long flat_start, long plen, long pos, bool tfree) {
+    long in_path = plen - pos;
+    if (in_path > eff) in_path = eff;
+    if (in_path < 0) in_path = 0;
+    const uint8_t* path = flat_codes + flat_start + pos;
+    for (long i = 0; i < in_path; i++)
+        if (path[i] != var[i] && path[i] != 4) return false;
+    if (in_path < eff && !tfree) return false;
+    return true;
+}
+
+extern "C" long gio_find_matches(
+    const uint8_t* codes, long B, long stride, const long* lengths,
+    long k,
+    // combos sorted by (read, graph); only non-fallback combos passed
+    long nc, const long* c_read, const long* c_g,
+    // hash tables / path data
+    const uint64_t* rpow, const uint64_t* rinv,
+    const uint64_t* ph, const long* ph_start,
+    const int32_t* path_len, const long* flat_start,
+    const uint8_t* flat_codes,
+    const uint8_t* tfree, const uint8_t* nrow, const int32_t* path_graph,
+    long n_anchor, const uint64_t* anchor_hash, const int32_t* anchor_row,
+    const int32_t* anchor_pos,
+    long n_mini, const uint64_t* mini_hash, const int32_t* mini_row,
+    const int32_t* mini_pos, const int8_t* mini_typ,
+    const uint64_t* len_mix, const uint64_t* g_mix,
+    // q0 probes: N positions CSR by graph index
+    long n_npos, const long* npos_gi, const int32_t* npos_row,
+    const int32_t* npos_pos,
+    long G,
+    // outputs
+    long* m_b, int8_t* m_var, int32_t* m_row, int32_t* m_pos,
+    int64_t* m_key, long out_cap) {
+    long n_out = 0;
+    // scratch: per-read prefix hashes + rc codes
+    uint64_t* PHf = new uint64_t[stride + 2];
+    uint64_t* PHr = new uint64_t[stride + 2];
+    uint8_t* rc = new uint8_t[stride];
+    const int rc_of[5] = {3, 2, 1, 0, 4};
+    long scratch_cap = 65536;
+    long* sc_var = new long[scratch_cap];
+    long* sc_row = new long[scratch_cap];
+    long* sc_pos = new long[scratch_cap];
+
+    long ci = 0;
+    long overflow = 0;  // 1 = out_cap too small, 2 = per-read scratch full
+    while (ci < nc && !overflow) {
+        const long b = c_read[ci];
+        long ce = ci;
+        while (ce < nc && c_read[ce] == b) ce++;
+        const long Lr = lengths[b];
+        const uint8_t* cs = codes + b * stride;
+        for (long i = 0; i < Lr; i++) rc[i] = rc_of[cs[Lr - 1 - i]];
+        PHf[0] = 0; PHr[0] = 0;
+        for (long i = 0; i < Lr; i++) {
+            PHf[i + 1] = PHf[i] + (uint64_t)(cs[i] + 1) * rpow[i];
+            PHr[i + 1] = PHr[i] + (uint64_t)(rc[i] + 1) * rpow[i];
+        }
+        const uint64_t rinv1 = rinv[1];
+        // interior full-variant hashes per var 0..5
+        const uint64_t vfull[6] = {
+            PHf[Lr], (PHf[Lr] - PHf[1]) * rinv1, PHf[Lr - 1],
+            PHr[Lr], (PHr[Lr] - PHr[1]) * rinv1, PHr[Lr - 1],
+        };
+        const uint64_t anch[4] = {
+            PHf[k], (PHf[k + 1] - PHf[1]) * rinv1,
+            PHr[k], (PHr[k + 1] - PHr[1]) * rinv1,
+        };
+        static const int GROUP_VARS[4][2] = {{0, 2}, {1, -1}, {3, 5}, {4, -1}};
+        long n_sc = 0;
+        // ---- anchor joins -------------------------------------------
+        for (int grp = 0; grp < 4; grp++) {
+            const uint64_t q = anch[grp];
+            // lower_bound
+            long lo = 0, hi = n_anchor;
+            while (lo < hi) {
+                long mid = (lo + hi) >> 1;
+                if (anchor_hash[mid] < q) lo = mid + 1; else hi = mid;
+            }
+            for (long ai = lo; ai < n_anchor && anchor_hash[ai] == q; ai++) {
+                const long row = anchor_row[ai];
+                const long pos = anchor_pos[ai];
+                const long plen = path_len[row];
+                const uint64_t* php = ph + ph_start[row];
+                const uint64_t h_over =
+                    (php[plen] - php[pos]) * rinv[pos];
+                const long qlen = plen - pos;  // >= k
+                for (int gv = 0; gv < 2; gv++) {
+                    const int v = GROUP_VARS[grp][gv];
+                    if (v < 0) break;
+                    const long lb = Lr - (v == 0 || v == 3 ? 0 : 1);
+                    bool ok;
+                    if (pos + lb <= plen) {
+                        const uint64_t h_int =
+                            (php[pos + lb] - php[pos]) * rinv[pos];
+                        ok = h_int == vfull[v];
+                    } else if (tfree[row]) {
+                        uint64_t vpref;
+                        if (v == 0 || v == 2) vpref = PHf[qlen];
+                        else if (v == 1)
+                            vpref = (PHf[qlen + 1] - PHf[1]) * rinv1;
+                        else if (v == 3 || v == 5) vpref = PHr[qlen];
+                        else vpref = (PHr[qlen + 1] - PHr[1]) * rinv1;
+                        ok = h_over == vpref;
+                    } else {
+                        ok = false;
+                    }
+                    if (!ok && nrow[row]) {
+                        // wildcard path: literal hash can miss; byte check
+                        const uint8_t* var =
+                            (v >= 3 ? rc : cs) + (v % 3 == 1 ? 1 : 0);
+                        ok = gio_bverify(
+                            var, lb, flat_codes, flat_start[row], plen, pos,
+                            tfree[row]);
+                    }
+                    if (ok && n_sc < scratch_cap) {
+                        sc_var[n_sc] = v;
+                        sc_row[n_sc] = row;
+                        sc_pos[n_sc] = pos;
+                        n_sc++;
+                    }
+                }
+            }
+        }
+        // ---- per-combo mini joins + q0 probes ------------------------
+        for (long c = ci; c < ce; c++) {
+            const long g = c_g[c];
+            const uint64_t gmix = g_mix[g];
+            if (n_mini)
+                for (int grp = 0; grp < 4; grp++)
+                    for (long q = 1; q < k; q++) {
+                        uint64_t pref;
+                        if (grp == 0) pref = PHf[q];
+                        else if (grp == 1)
+                            pref = (PHf[q + 1] - PHf[1]) * rinv1;
+                        else if (grp == 2) pref = PHr[q];
+                        else pref = (PHr[q + 1] - PHr[1]) * rinv1;
+                        const uint64_t key = pref ^ len_mix[q] ^ gmix;
+                        long lo = 0, hi = n_mini;
+                        while (lo < hi) {
+                            long mid = (lo + hi) >> 1;
+                            if (mini_hash[mid] < key) lo = mid + 1;
+                            else hi = mid;
+                        }
+                        for (long ai = lo;
+                             ai < n_mini && mini_hash[ai] == key; ai++) {
+                            const long row = mini_row[ai];
+                            const long pos = mini_pos[ai];
+                            for (int gv = 0; gv < 2; gv++) {
+                                const int v = GROUP_VARS[grp][gv];
+                                if (v < 0) break;
+                                bool ok;
+                                if (mini_typ[ai] == 0) {
+                                    ok = true;  // OVER: content fully hashed
+                                } else {
+                                    const long lb =
+                                        Lr - (v == 0 || v == 3 ? 0 : 1);
+                                    const uint8_t* var =
+                                        (v >= 3 ? rc : cs)
+                                        + (v % 3 == 1 ? 1 : 0);
+                                    ok = gio_bverify(
+                                        var, lb, flat_codes,
+                                        flat_start[row], path_len[row], pos,
+                                        tfree[row]);
+                                }
+                                if (ok && n_sc < scratch_cap) {
+                                    sc_var[n_sc] = v;
+                                    sc_row[n_sc] = row;
+                                    sc_pos[n_sc] = pos;
+                                    n_sc++;
+                                }
+                            }
+                        }
+                    }
+            if (n_npos) {
+                // q=0 probes: starts exactly at a path N
+                long lo = 0, hi = n_npos;
+                while (lo < hi) {
+                    long mid = (lo + hi) >> 1;
+                    if (npos_gi[mid] < g) lo = mid + 1; else hi = mid;
+                }
+                for (long ai = lo; ai < n_npos && npos_gi[ai] == g; ai++) {
+                    const long row = npos_row[ai];
+                    const long pos = npos_pos[ai];
+                    for (int v = 0; v < 6; v++) {
+                        const long lb = Lr - (v == 0 || v == 3 ? 0 : 1);
+                        const uint8_t* var =
+                            (v >= 3 ? rc : cs) + (v % 3 == 1 ? 1 : 0);
+                        if (gio_bverify(
+                                var, lb, flat_codes, flat_start[row],
+                                path_len[row], pos, tfree[row])
+                            && n_sc < scratch_cap) {
+                            sc_var[n_sc] = v;
+                            sc_row[n_sc] = row;
+                            sc_pos[n_sc] = pos;
+                            n_sc++;
+                        }
+                    }
+                }
+            }
+        }
+        // ---- sort this read's matches by graph ----------------------
+        {
+            long* ord = new long[n_sc];
+            for (long i = 0; i < n_sc; i++) ord[i] = i;
+            std::stable_sort(ord, ord + n_sc, [&](long x, long y) {
+                return path_graph[sc_row[x]] < path_graph[sc_row[y]];
+            });
+            long* tv = new long[n_sc];
+            long* tr = new long[n_sc];
+            long* tp = new long[n_sc];
+            for (long i = 0; i < n_sc; i++) {
+                tv[i] = sc_var[ord[i]];
+                tr[i] = sc_row[ord[i]];
+                tp[i] = sc_pos[ord[i]];
+            }
+            memcpy(sc_var, tv, n_sc * sizeof(long));
+            memcpy(sc_row, tr, n_sc * sizeof(long));
+            memcpy(sc_pos, tp, n_sc * sizeof(long));
+            delete[] ord; delete[] tv; delete[] tr; delete[] tp;
+        }
+        if (n_sc >= scratch_cap) {
+            overflow = 2;
+            break;
+        }
+        if (n_out + n_sc > out_cap) {
+            overflow = 1;
+            break;
+        }
+        for (long i = 0; i < n_sc; i++) {
+            m_b[n_out] = b;
+            m_var[n_out] = (int8_t)sc_var[i];
+            m_row[n_out] = (int32_t)sc_row[i];
+            m_pos[n_out] = (int32_t)sc_pos[i];
+            m_key[n_out] = b * G + path_graph[sc_row[i]];
+            n_out++;
+        }
+        ci = ce;
+    }
+    delete[] PHf;
+    delete[] PHr;
+    delete[] rc;
+    delete[] sc_var;
+    delete[] sc_row;
+    delete[] sc_pos;
+    return overflow ? -overflow : n_out;
 }

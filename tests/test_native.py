@@ -69,3 +69,20 @@ def test_bgzf_block_roundtrip():
     assert gzip.decompress(block) == data
     # BC extra field encodes block size
     assert block[12:14] == b"BC"
+
+
+def test_native_sketch_matches_numpy_batch():
+    from groot_tpu.io import native
+    from groot_tpu.ops import nthash
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(11)
+    B, L, k, s = 32, 128, 31, 20
+    codes = rng.integers(0, 5, (B, L), dtype=np.uint8)
+    lens = rng.integers(20, L + 1, B).astype(np.int64)
+    out = native.sketch(codes, lens, k, s)
+    ref = nthash.khf_sketch_np_batch(codes, lens, k, s)
+    np.testing.assert_array_equal(out, ref)
