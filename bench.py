@@ -71,7 +71,10 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--noAlign", action="store_true", help="seed+weight only")
     ap.add_argument("--batchSize", type=int, default=4096)
-    ap.add_argument("--repeat", type=int, default=1, help="replicate the read file N times")
+    ap.add_argument(
+        "--repeat", type=int, default=3,
+        help="replicate the read file N times (amortizes fixed setup)",
+    )
     args = ap.parse_args()
 
     # persistent compilation cache (first TPU run compiles ~10-20 shapes)

@@ -220,6 +220,36 @@ def batch_reads_native(
         yield _batch_from_segs(pend)
 
 
+def _prefetch(it: Iterator, depth: int = 2) -> Iterator:
+    """Run an iterator on a worker thread (gzip decode + FASTQ parse +
+    encode overlap with alignment; the ingest stages release the GIL).
+    The pipeline-parallel analog of the reference's goroutine stages
+    (src/pipeline/pipeline.go:36-45)."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    SENTINEL = object()
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+            q.put(SENTINEL)
+        except BaseException as e:  # propagate into the consumer
+            q.put(e)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is SENTINEL:
+            break
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 @dataclass
 class AlignStats:
     received: int = 0
@@ -304,6 +334,7 @@ def run_align(
         batches = batch_reads(
             stream_fastq(fastq, fasta=info.sketch.fasta), batch_size
         )
+    batches = _prefetch(batches, depth=2)
 
     raw_count = 0
     length_total = 0
