@@ -154,6 +154,50 @@ def sketch_graphs(
         g.num_distinct_sketches = 0
         g.max_span = 0
 
+    # native host fast path: one C pass over every path row (van Herk
+    # sliding-min + run detection); the device kernel remains for
+    # GROOT_DEVICE_SKETCH (pod-scale index builds)
+    import os
+
+    if not os.environ.get("GROOT_DEVICE_SKETCH"):
+        from ..io import native
+
+        all_rows = [
+            (gi, pi)
+            for gi, packed in enumerate(packs)
+            for pi in range(len(packed.path_ids))
+        ]
+        Lmax = max(
+            (int(p.lengths.max()) for p in packs if len(p.lengths)), default=1
+        )
+        codes = np.full((len(all_rows), Lmax), 4, dtype=np.uint8)
+        lens = np.zeros(len(all_rows), dtype=np.int64)
+        for r, (gi, pi) in enumerate(all_rows):
+            ln = int(packs[gi].lengths[pi])
+            codes[r, :ln] = packs[gi].codes[pi, :ln]
+            lens[r] = ln
+        res = native.window_sketch(codes, lens, kmer_size, sketch_size, window_size)
+        if res is not None:
+            _rows, cols, sk, row_counts = res
+            path_runs: Dict[Tuple[int, int], Tuple[int, np.ndarray, np.ndarray]] = {}
+            base = 0
+            for r, (gi, pi) in enumerate(all_rows):
+                n = int(row_counts[r])
+                nw = int(packs[gi].lengths[pi]) - window_size + 1
+                path_runs[(gi, pi)] = (
+                    nw,
+                    cols[base : base + n].astype(np.int64),
+                    sk[base : base + n],
+                )
+                base += n
+            out: List[Dict[str, List[Key]]] = []
+            for gi, (graph, packed) in enumerate(zip(graphs, packs)):
+                runs = [
+                    path_runs[(gi, pi)] for pi in range(len(packed.path_ids))
+                ]
+                out.append(_merge_windows(graph, packed, runs, window_size))
+            return out
+
     # flat row table: (graph_idx, path_idx, length); group by Lb bucket
     by_lb: Dict[int, List[Tuple[int, int]]] = {}
     for gi, packed in enumerate(packs):

@@ -93,6 +93,11 @@ def _load() -> Optional[ctypes.CDLL]:
             _LONG,                                    # G
             _LP, _I8P_, _I32P_, _I32P_, _I64P, _LONG,  # out
         ]
+        lib.gio_window_sketch.restype = _LONG
+        lib.gio_window_sketch.argtypes = [
+            _U8P, _LONG, _LONG, _LP, _LONG, _LONG, _LONG,
+            _I32P, _I32P, _U64P, _LONG, _LP,
+        ]
         lib.gio_verify.restype = None
         lib.gio_verify.argtypes = [
             _LONG, _LP, _I8P, _LP, _LP,
@@ -270,6 +275,29 @@ def sketch(codes, valid_len, k: int, s: int):
         codes, B, L, np.ascontiguousarray(valid_len, np.int64), k, s, out
     )
     return out
+
+
+def window_sketch(codes, lens, k: int, s: int, w: int):
+    """Native all-windows KHF sketching with run detection. Returns
+    (rows, cols, sketches u64 [M, s], row_counts) of the run starts, or
+    None when the library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "gio_window_sketch"):
+        return None
+    codes = np.ascontiguousarray(codes, np.uint8)
+    R, L = codes.shape
+    lens = np.ascontiguousarray(lens, np.int64)
+    cap = int(np.maximum(lens - w + 1, 0).sum()) + 1  # exact upper bound
+    out_row = np.empty(cap, np.int32)
+    out_col = np.empty(cap, np.int32)
+    out_sk = np.empty((cap, s), np.uint64)
+    row_counts = np.empty(R, np.int64)
+    n = lib.gio_window_sketch(
+        codes, R, L, lens, k, s, w, out_row, out_col, out_sk, cap, row_counts
+    )
+    if n < 0:
+        return None
+    return out_row[:n], out_col[:n], out_sk[:n].copy(), row_counts
 
 
 def find_matches(aligner, codes, lengths, c_read, c_g):

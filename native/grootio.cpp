@@ -698,3 +698,112 @@ extern "C" long gio_find_matches(
     delete[] sc_pos;
     return overflow ? -overflow : n_out;
 }
+
+// ---------------------------------------------------------------------------
+// gio_window_sketch: all stride-1 window KHF sketches of padded path rows
+// with run detection (index/window.py window_sketches + _change_mask).
+// Per row: canonical ntHash k-mer hashes, then per sketch slot a van Herk
+// sliding min over the window's m = w-k+1 k-mers; a window is emitted iff
+// its sketch differs from its predecessor (run start). Returns the total
+// number of run starts, or -1 if cap is too small.
+extern "C" long gio_window_sketch(
+    const uint8_t* codes, long R, long stride, const long* lens,
+    long k, long s, long w,
+    int32_t* out_row, int32_t* out_col, uint64_t* out_sk,  // [cap, s]
+    long cap, long* row_counts) {
+    static uint64_t ROTF[5][64], ROTR[5][64];
+    static bool init = false;
+    if (!init) {
+        const int rc_of[5] = {3, 2, 1, 0, 4};
+        for (int c = 0; c < 5; c++)
+            for (int m_ = 0; m_ < 64; m_++) {
+                ROTF[c][m_] = rol64(NT_SEEDS[c], (64 - m_) & 63);
+                ROTR[c][m_] = rol64(NT_SEEDS[rc_of[c]], m_);
+            }
+        init = true;
+    }
+    const uint64_t kseed = (uint64_t)k * NT_MULTISEED;
+    const long m = w - k + 1;
+    long n_out = 0;
+    uint64_t* X = new uint64_t[stride + 1];
+    uint64_t* Y = new uint64_t[stride + 1];
+    uint64_t* c = new uint64_t[stride];
+    uint64_t* h = new uint64_t[stride + m];
+    uint64_t* pref = new uint64_t[stride + m];
+    uint64_t* suff = new uint64_t[stride + m];
+    uint64_t* wsk = nullptr;
+    long wsk_cap = 0;
+    for (long r = 0; r < R; r++) {
+        row_counts[r] = 0;
+        const long n = lens[r];
+        const long nk = n - k + 1;
+        const long nw = n - w + 1;
+        if (nw <= 0) continue;
+        const uint8_t* cs = codes + r * stride;
+        X[0] = 0; Y[0] = 0;
+        for (long i = 0; i < n; i++) {
+            X[i + 1] = X[i] ^ ROTF[cs[i]][i & 63];
+            Y[i + 1] = Y[i] ^ ROTR[cs[i]][i & 63];
+        }
+        for (long i = 0; i < nk; i++) {
+            const uint64_t fwd =
+                rol64(X[i + k] ^ X[i], (unsigned)(i + k - 1));
+            const uint64_t rev =
+                rol64(Y[i + k] ^ Y[i], (unsigned)(64 - (i & 63)));
+            c[i] = fwd < rev ? fwd : rev;
+        }
+        if (nw > wsk_cap) {
+            delete[] wsk;
+            wsk_cap = nw * 2;
+            wsk = new uint64_t[wsk_cap * s];
+        }
+        const long nk_pad = ((nk + m - 1) / m) * m;
+        for (long j = 0; j < s; j++) {
+            if (j == 0) {
+                memcpy(h, c, nk * sizeof(uint64_t));
+            } else {
+                const uint64_t mult = (uint64_t)j ^ kseed;
+                for (long i = 0; i < nk; i++) {
+                    uint64_t v = c[i] * mult;
+                    h[i] = v ^ (v >> 27);
+                }
+            }
+            for (long i = nk; i < nk_pad; i++) h[i] = ~0ULL;
+            // van Herk blocks of m
+            for (long b = 0; b < nk_pad; b += m) {
+                pref[b] = h[b];
+                for (long i = b + 1; i < b + m; i++)
+                    pref[i] = h[i] < pref[i - 1] ? h[i] : pref[i - 1];
+                suff[b + m - 1] = h[b + m - 1];
+                for (long i = b + m - 2; i >= b; i--)
+                    suff[i] = h[i] < suff[i + 1] ? h[i] : suff[i + 1];
+            }
+            for (long i = 0; i < nw; i++) {
+                const uint64_t a = suff[i], bb = pref[i + m - 1];
+                wsk[i * s + j] = a < bb ? a : bb;
+            }
+        }
+        // run starts
+        long cnt = 0;
+        for (long i = 0; i < nw; i++) {
+            bool start = i == 0;
+            if (!start)
+                start = memcmp(
+                    wsk + i * s, wsk + (i - 1) * s, s * sizeof(uint64_t)
+                ) != 0;
+            if (start) {
+                if (n_out >= cap) { n_out = -1; goto done; }
+                out_row[n_out] = (int32_t)r;
+                out_col[n_out] = (int32_t)i;
+                memcpy(out_sk + n_out * s, wsk + i * s, s * sizeof(uint64_t));
+                n_out++;
+                cnt++;
+            }
+        }
+        row_counts[r] = cnt;
+    }
+done:
+    delete[] X; delete[] Y; delete[] c; delete[] h;
+    delete[] pref; delete[] suff; delete[] wsk;
+    return n_out;
+}

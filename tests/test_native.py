@@ -86,3 +86,41 @@ def test_native_sketch_matches_numpy_batch():
     out = native.sketch(codes, lens, k, s)
     ref = nthash.khf_sketch_np_batch(codes, lens, k, s)
     np.testing.assert_array_equal(out, ref)
+
+
+def test_native_window_sketch_matches_golden():
+    """The C all-windows sketcher must produce the same run starts and
+    sketches as the per-window numpy golden."""
+    from groot_tpu.io import native
+    from groot_tpu.ops import nthash
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(5)
+    k, s, w = 7, 8, 20
+    R, L = 6, 90
+    codes = rng.integers(0, 4, (R, L), dtype=np.uint8)
+    # force repeated windows so run detection actually triggers
+    codes[2, 10:40] = codes[2, 10]
+    lens = rng.integers(w, L + 1, R).astype(np.int64)
+    res = native.window_sketch(codes, lens, k, s, w)
+    assert res is not None
+    rows, cols, sk, row_counts = res
+    base = 0
+    for r in range(R):
+        nw = int(lens[r]) - w + 1
+        prev = None
+        exp_cols, exp_sks = [], []
+        for i in range(nw):
+            skt = nthash.khf_sketch_np(codes[r, i : i + w], k, s)
+            if prev is None or (skt != prev).any():
+                exp_cols.append(i)
+                exp_sks.append(skt)
+            prev = skt
+        n = int(row_counts[r])
+        assert n == len(exp_cols)
+        np.testing.assert_array_equal(cols[base : base + n], exp_cols)
+        np.testing.assert_array_equal(sk[base : base + n], np.stack(exp_sks))
+        base += n
