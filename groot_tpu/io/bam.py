@@ -129,12 +129,36 @@ def _bgzf_block(data: bytes) -> bytes:
 
 
 class BgzfWriter:
+    """BGZF writer with compression + file IO on a worker thread (zlib and
+    the native deflate release the GIL, so blocks compress while the main
+    thread packs the next batch — the reference's BAM goroutine analog,
+    boss.go:225-241). Block boundaries are deterministic (every 0xFF00
+    bytes), so output bytes are identical to the synchronous path."""
+
     def __init__(self, fh):
         self.fh = fh
         self.buf = bytearray()
         from . import native
 
         self._native = native.bgzf_block if native.available() else None
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=8)
+        self._err = None
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def _run(self):
+        while True:
+            data = self._q.get()
+            if data is None:
+                return
+            try:
+                self.fh.write(self._block(data))
+            except BaseException as e:  # surfaced on the next write/close
+                self._err = e
+                return
 
     def _block(self, data: bytes) -> bytes:
         if self._native is not None:
@@ -144,15 +168,21 @@ class BgzfWriter:
         return _bgzf_block(data)
 
     def write(self, data: bytes):
+        if self._err is not None:
+            raise self._err
         self.buf += data
         while len(self.buf) >= 0xFF00:
-            self.fh.write(self._block(bytes(self.buf[:0xFF00])))
+            self._q.put(bytes(self.buf[:0xFF00]))
             del self.buf[:0xFF00]
 
     def close(self):
         if self.buf:
-            self.fh.write(self._block(bytes(self.buf)))
+            self._q.put(bytes(self.buf))
             self.buf = bytearray()
+        self._q.put(None)
+        self._worker.join()
+        if self._err is not None:
+            raise self._err
         self.fh.write(BGZF_EOF)
         self.fh.flush()
 
