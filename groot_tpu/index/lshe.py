@@ -229,6 +229,7 @@ class ContainmentIndex:
         sketch_lo,
         query_sizes: np.ndarray,
         threshold: float,
+        force_banded: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Flat-array variant of query_batch: returns (read_rows, window_ids)
         as numpy int arrays (unsorted) — the batched pipeline does all
@@ -259,7 +260,7 @@ class ContainmentIndex:
         qs_all = np.asarray(query_sizes, np.float64)
         d = float(self.num_window_kmers)
         eq_bound = s * threshold * qs_all / (qs_all + d - threshold * qs_all)
-        if np.all(eq_bound >= s - 1):
+        if np.all(eq_bound >= s - 1) and not force_banded:
             if not hasattr(self, "_full_table"):
                 fs = _mix_bands_np(self.sketches, s)[:, 0]  # [N]
                 order = np.argsort(fs, kind="stable")

@@ -166,3 +166,44 @@ def test_duplicate_window_key_rejected():
     index.add_window("g0n1o0-0", key)
     with pytest.raises(ValueError):
         index.add_window("g0n1o0-0", key)
+
+
+def test_full_equality_query_fast_path_matches_banded():
+    """At groot's standard t=0.99 with query size ~ window k-mers,
+    containment > t requires all sketch slots equal, so the full-sketch
+    hash join must return exactly the banded path's hit set."""
+    import numpy as np
+
+    from groot_tpu.index.lshe import ContainmentIndex
+    from groot_tpu.index.window import Key
+
+    rng = np.random.default_rng(13)
+    s, d = 20, 120
+    N = 500
+    idx = ContainmentIndex(
+        num_part=8, max_k=4, num_window_kmers=d, sketch_size=s
+    )
+    base = rng.integers(0, 2**63, size=(40, s), dtype=np.uint64)
+    for i in range(N):
+        sk = base[i % 40].copy()
+        if i % 3 == 0:  # perturb some so not everything collides
+            sk[i % s] ^= np.uint64(i + 1)
+        idx.add_window(
+            f"g{i}n0o0-0",
+            Key(
+                graph_id=i, node=0, offset=0, contained_nodes={0: 1.0},
+                ref=[0], sketch=sk, merge_span=0, window_size=150,
+            ),
+        )
+    idx.prepare()
+    # queries: exact copies of indexed sketches + random misses
+    q = np.concatenate([base[:20], rng.integers(0, 2**63, (20, s), np.uint64)])
+    hi = (q >> np.uint64(32)).astype(np.uint32)
+    lo = (q & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    sizes = np.full(len(q), d, np.int32)
+    r1, w1 = idx.query_batch_np(hi, lo, sizes, 0.99)
+    r2, w2 = idx.query_batch_np(hi, lo, sizes, 0.99, force_banded=True)
+    k1 = sorted(zip(r1.tolist(), w1.tolist()))
+    k2 = sorted(zip(r2.tolist(), w2.tolist()))
+    assert k1 == k2
+    assert len(k1) > 0
