@@ -60,6 +60,19 @@ def _splitmix64(x: int) -> int:
     return z ^ (z >> 31)
 
 
+def _index_fingerprint(index, k: int) -> np.ndarray:
+    """Consistency fingerprint binding a groot.align sidecar to the
+    groot.lshe index it was derived from: CRC of the sketch matrix plus
+    its shape and the anchor k. A rebuilt index (or one copied next to a
+    stale sidecar) fingerprints differently and forces a fresh setup."""
+    import zlib
+
+    sk = np.ascontiguousarray(index.sketches)
+    crc = zlib.crc32(sk.tobytes())
+    s = sk.shape[1] if sk.ndim > 1 else 0
+    return np.array([crc, len(sk), s, k], dtype=np.int64)
+
+
 class NumpyGraphAligner(GraphAligner):
     """GraphAligner with the match volumes computed in numpy instead of an
     XLA conv — the fallback engine for wildcard graphs must not trigger
@@ -145,14 +158,17 @@ class HashAligner:
         payload["_scalars"] = np.array(
             [self.R, self.G, self.k, self._pos_bits], dtype=np.int64
         )
+        payload["_fingerprint"] = self._fingerprint
         tmp = path + ".tmp.npz"
         with open(tmp, "wb") as fh:
             np.savez(fh, **payload)
         os.replace(tmp, path)
 
-    def try_load(self, index, path: str):
+    def try_load(self, index, path: str, k: int):
         """Load the groot.align sidecar; returns the reconstructed
-        WindowTables, or None when absent/stale."""
+        WindowTables, or None when absent/stale. Staleness is detected by
+        the index fingerprint stored in the sidecar (a sidecar written for
+        a different/rebuilt groot.lshe, or a different k, is rejected)."""
         from .batch_host import WindowTables
 
         try:
@@ -160,8 +176,16 @@ class HashAligner:
         except (OSError, ValueError):
             return None
         need = set(self._ARRAYS) | {"wt_" + n for n in self._WT_ARRAYS}
-        if need - set(data.files):
+        if (need - set(data.files)) or "_fingerprint" not in data.files:
             return None
+        expect = _index_fingerprint(index, int(k))
+        if not np.array_equal(data["_fingerprint"], expect):
+            log.warning(
+                "groot.align sidecar does not match the loaded index; "
+                "rebuilding alignment tables"
+            )
+            return None
+        self._fingerprint = expect
         for name in self._ARRAYS:
             setattr(self, name, data[name])
         self.R, self.G, self.k, self._pos_bits = (
@@ -187,6 +211,7 @@ class HashAligner:
         self.tables = tables
         self.keys = index.keys
         self.k = int(k)
+        self._fingerprint = _index_fingerprint(index, self.k)
         store = self.store
         t = tables
         gids = t.graph_ids  # sorted
@@ -416,6 +441,27 @@ class HashAligner:
             )
         else:
             self.ref_id_by_prow = None
+
+    def _ensure_pow(self, n: int) -> None:
+        """Grow rpow/rinv to cover indices < n. The setup sizes them for
+        max(path Lmax, 8192)+2, but both tables are also indexed by READ
+        length (PHf/PHr prefixes, native gio_find_matches) — a long-read
+        batch beyond that would read out of bounds."""
+        old = len(self.rpow)
+        if n <= old:
+            return
+        rpow = np.empty(n, dtype=np.uint64)
+        rinv = np.empty(n, dtype=np.uint64)
+        rpow[:old] = self.rpow
+        rinv[:old] = self.rinv
+        with np.errstate(over="ignore"):
+            rb = np.uint64(RBASE)
+            ri = np.uint64(_RINV_INT)
+            for i in range(old, n):
+                rpow[i] = rpow[i - 1] * rb
+                rinv[i] = rinv[i - 1] * ri
+        self.rpow = rpow
+        self.rinv = rinv
 
     def _pack(self, graph: GrootGraph) -> _GraphPack:
         gp = self._packs.get(graph.graph_id)
@@ -697,6 +743,7 @@ class HashAligner:
         codes = np.asarray(batch.codes)
         lengths = np.asarray(batch.lengths).astype(np.int64)
         k = self.k
+        self._ensure_pow(codes.shape[1] + 2)
 
         combo_end = np.append(combo_start[1:], n_pairs)
         c_read = rows[combo_start]

@@ -167,19 +167,37 @@ class BgzfWriter:
                 return out
         return _bgzf_block(data)
 
+    def _put(self, item):
+        """Enqueue for the worker; re-checks _err while blocked so a dead
+        worker (e.g. ENOSPC) surfaces as an exception instead of a permanent
+        hang on the full 8-slot queue (a bulk write_groups call can enqueue
+        far more than 8 blocks per write())."""
+        import queue
+
+        while True:
+            if self._err is not None:
+                raise self._err
+            try:
+                self._q.put(item, timeout=0.2)
+                return
+            except queue.Full:
+                continue
+
     def write(self, data: bytes):
         if self._err is not None:
             raise self._err
         self.buf += data
         while len(self.buf) >= 0xFF00:
-            self._q.put(bytes(self.buf[:0xFF00]))
+            self._put(bytes(self.buf[:0xFF00]))
             del self.buf[:0xFF00]
 
     def close(self):
+        if self._err is not None:
+            raise self._err
         if self.buf:
-            self._q.put(bytes(self.buf))
+            self._put(bytes(self.buf))
             self.buf = bytearray()
-        self._q.put(None)
+        self._put(None)
         self._worker.join()
         if self._err is not None:
             raise self._err

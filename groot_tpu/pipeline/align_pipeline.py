@@ -305,7 +305,7 @@ def run_align(
             )
             tables = None
             if cache and os.path.exists(cache):
-                tables = aligner.try_load(index, cache)
+                tables = aligner.try_load(index, cache, k)
             if tables is None:
                 tables = WindowTables(index, info.store)
                 aligner.attach_tables(tables, index, k)
