@@ -186,6 +186,8 @@ class HashAligner:
             )
             return None
         self._fingerprint = expect
+        self._anchor_pref = None
+        self._mini_pref = None
         for name in self._ARRAYS:
             setattr(self, name, data[name])
         self.R, self.G, self.k, self._pos_bits = (
@@ -386,6 +388,8 @@ class HashAligner:
             np.concatenate(mtyp_parts) if mtyp_parts else np.empty(0, np.int8)
         )
         order = np.argsort(mk, kind="stable")
+        self._anchor_pref = None  # lazy 16-bit-prefix bucket indexes (io.native)
+        self._mini_pref = None
         self.mini_hash = mk[order]
         self.mini_row = mrow[order]
         self.mini_pos = mpos[order]

@@ -137,7 +137,8 @@ class BgzfWriter:
 
     def __init__(self, fh):
         self.fh = fh
-        self.buf = bytearray()
+        self._parts: List[bytes] = []
+        self._size = 0
         from . import native
 
         self._native = native.bgzf_block if native.available() else None
@@ -186,17 +187,30 @@ class BgzfWriter:
     def write(self, data: bytes):
         if self._err is not None:
             raise self._err
-        self.buf += data
-        while len(self.buf) >= 0xFF00:
-            self._put(bytes(self.buf[:0xFF00]))
-            del self.buf[:0xFF00]
+        self._parts.append(data)
+        self._size += len(data)
+        if self._size < 0xFF00:
+            return
+        # O(n) chunking: one join, then zero-copy memoryview slices (a
+        # rolling `del buf[:BS]` re-shifts the multi-MB tail per block)
+        blob = self._parts[0] if len(self._parts) == 1 else b"".join(
+            self._parts
+        )
+        mv = memoryview(blob)
+        off = 0
+        while self._size - off >= 0xFF00:
+            self._put(bytes(mv[off : off + 0xFF00]))
+            off += 0xFF00
+        tail = bytes(mv[off:])
+        self._parts = [tail] if tail else []
+        self._size = len(tail)
 
     def close(self):
         if self._err is not None:
             raise self._err
-        if self.buf:
-            self._put(bytes(self.buf))
-            self.buf = bytearray()
+        if self._size:
+            self._put(b"".join(self._parts))
+            self._parts, self._size = [], 0
         self._put(None)
         self._worker.join()
         if self._err is not None:

@@ -88,6 +88,7 @@ def _load() -> Optional[ctypes.CDLL]:
             _I32P_, _LP, _U8P, _U8P, _U8P, _I32P_,    # path data
             _LONG, _U64P, _I32P_, _I32P_,             # anchors
             _LONG, _U64P, _I32P_, _I32P_, _I8P_,      # mini
+            _I32P_, _I32P_,                           # prefix bucket indexes
             _U64P, _U64P,                             # len_mix g_mix
             _LONG, _LP, _I32P_, _I32P_,               # npos
             _LONG,                                    # G
@@ -300,6 +301,16 @@ def window_sketch(codes, lens, k: int, s: int, w: int):
     return out_row[:n], out_col[:n], out_sk[:n].copy(), row_counts
 
 
+def _prefix16(sorted_hashes: np.ndarray) -> np.ndarray:
+    """Bucket index for a sorted uint64 array: entry p = lower_bound of
+    p << 48 (length 65537, int32)."""
+    bounds = np.arange(65536, dtype=np.uint64) << np.uint64(48)
+    pref = np.empty(65537, np.int32)
+    pref[:65536] = np.searchsorted(sorted_hashes, bounds, side="left")
+    pref[65536] = len(sorted_hashes)
+    return pref
+
+
 def find_matches(aligner, codes, lengths, c_read, c_g):
     """Native hash-join candidate search (gio_find_matches); returns
     (m_b, m_var, m_row, m_pos, m_key) sorted by (read, graph), or None."""
@@ -307,6 +318,9 @@ def find_matches(aligner, codes, lengths, c_read, c_g):
     if lib is None or not hasattr(lib, "gio_find_matches"):
         return None
     a = aligner
+    if getattr(a, "_anchor_pref", None) is None or len(a._anchor_pref) != 65537:
+        a._anchor_pref = _prefix16(a.anchor_hash)
+        a._mini_pref = _prefix16(a.mini_hash)
     codes = np.ascontiguousarray(codes, np.uint8)
     B, L = codes.shape
     cap = max(len(c_read) * 64, 1 << 20)
@@ -337,6 +351,7 @@ def find_matches(aligner, codes, lengths, c_read, c_g):
             np.ascontiguousarray(a.mini_row, np.int32),
             np.ascontiguousarray(a.mini_pos, np.int32),
             np.ascontiguousarray(a.mini_typ, np.int8),
+            a._anchor_pref, a._mini_pref,
             a.len_mix, a.g_mix,
             len(a.npos_gi),
             np.ascontiguousarray(a.npos_gi, np.int64),
