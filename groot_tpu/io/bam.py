@@ -141,7 +141,7 @@ class BgzfWriter:
         self._size = 0
         from . import native
 
-        self._native = native.bgzf_block if native.available() else None
+        self._native = native.bgzf_many if native.available() else None
         import queue
         import threading
 
@@ -152,21 +152,24 @@ class BgzfWriter:
 
     def _run(self):
         while True:
-            data = self._q.get()
+            data = self._q.get()  # a run of whole blocks (tail at close)
             if data is None:
                 return
             try:
-                self.fh.write(self._block(data))
+                self.fh.write(self._compress(data))
             except BaseException as e:  # surfaced on the next write/close
                 self._err = e
                 return
 
-    def _block(self, data: bytes) -> bytes:
+    def _compress(self, data: bytes) -> bytes:
         if self._native is not None:
             out = self._native(data)
             if out is not None:
                 return out
-        return _bgzf_block(data)
+        return b"".join(
+            _bgzf_block(data[o : o + 0xFF00])
+            for o in range(0, len(data), 0xFF00)
+        )
 
     def _put(self, item):
         """Enqueue for the worker; re-checks _err while blocked so a dead
@@ -191,17 +194,15 @@ class BgzfWriter:
         self._size += len(data)
         if self._size < 0xFF00:
             return
-        # O(n) chunking: one join, then zero-copy memoryview slices (a
-        # rolling `del buf[:BS]` re-shifts the multi-MB tail per block)
+        # hand ALL complete blocks to the worker as ONE queue item; the
+        # worker compresses the whole run in one native call (block
+        # boundaries stay deterministic: every 0xFF00 bytes)
         blob = self._parts[0] if len(self._parts) == 1 else b"".join(
             self._parts
         )
-        mv = memoryview(blob)
-        off = 0
-        while self._size - off >= 0xFF00:
-            self._put(bytes(mv[off : off + 0xFF00]))
-            off += 0xFF00
-        tail = bytes(mv[off:])
+        split = (self._size // 0xFF00) * 0xFF00
+        self._put(blob[:split])
+        tail = blob[split:]
         self._parts = [tail] if tail else []
         self._size = len(tail)
 

@@ -59,6 +59,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.gio_bgzf_block.argtypes = [
             ctypes.c_char_p, _LONG, _U8P, _LONG,
         ]
+        lib.gio_bgzf_many.restype = _LONG
+        lib.gio_bgzf_many.argtypes = [
+            ctypes.c_char_p, _LONG, _LONG, _U8P, _LONG,
+        ]
         _I8P = np.ctypeslib.ndpointer(dtype=np.int8, flags="C_CONTIGUOUS")
         _I32P = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
         lib.gio_cascade.restype = _LONG
@@ -430,6 +434,20 @@ def bgzf_block(data: bytes) -> Optional[bytes]:
         return None
     out = np.empty(len(data) + 1024, np.uint8)
     n = lib.gio_bgzf_block(data, len(data), out, len(out))
+    if n < 0:
+        return None
+    return out[:n].tobytes()
+
+
+def bgzf_many(data: bytes, bs: int = 0xFF00) -> Optional[bytes]:
+    """Compress a run of consecutive BGZF blocks in one native call (one
+    GIL release per batch), or None to use the per-block path."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "gio_bgzf_many"):
+        return None
+    nblocks = max(-(-len(data) // bs), 1)
+    out = np.empty(len(data) + 1024 * (nblocks + 1), np.uint8)
+    n = lib.gio_bgzf_many(data, len(data), bs, out, len(out))
     if n < 0:
         return None
     return out[:n].tobytes()

@@ -153,6 +153,23 @@ long gio_bgzf_block(const uint8_t* data, long n, uint8_t* out, long out_cap) {
     return bsize;
 }
 
+// Compress a run of consecutive BGZF blocks (block size bs, last block may
+// be short) in one call — one GIL release for a whole batch instead of one
+// Python/ctypes/queue round-trip per 64KB block. Returns total bytes
+// written to out, or -1 on error / insufficient out_cap.
+long gio_bgzf_many(
+    const uint8_t* data, long n, long bs, uint8_t* out, long out_cap) {
+    long written = 0;
+    for (long off = 0; off < n; off += bs) {
+        const long blk = (n - off < bs) ? (n - off) : bs;
+        const long r = gio_bgzf_block(
+            data + off, blk, out + written, out_cap - written);
+        if (r < 0) return -1;
+        written += r;
+    }
+    return written;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
