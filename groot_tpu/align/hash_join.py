@@ -1063,6 +1063,30 @@ class HashAligner:
         cs = combo_cs[grp_combo].astype(np.int64)
         ce = combo_ce[grp_combo].astype(np.int64)
         Lr = sql[rows]
+
+        if not os.environ.get("GROOT_NO_NATIVE_CASCADE") and hasattr(
+            bam_writer, "write_raw"
+        ):
+            # whole-batch native assembly: oriented gather, nibble packing,
+            # headers and cigars in one C pass (gio_emit_records)
+            from ..io import native
+
+            olen = Lr - cs - ce
+            ncig = 1 + (cs > 0) + (ce > 0)
+            per_rec = 36 + (idl[rows] + 1) + 4 * ncig + (olen + 1) // 2 + olen
+            cap = int((per_rec * np.diff(group_ptr)).sum())
+            out = native.emit_records(
+                idc, ido[rows], idl[rows],
+                sqc, sqo[rows], Lr,
+                quc, quo[rows], qul[rows],
+                rev, combo_cs[grp_combo], combo_ce[grp_combo],
+                group_ptr,
+                self.ref_id_by_prow[id_row], id_pos.astype(np.int64),
+                cap,
+            )
+            if out is not None:
+                bam_writer.write_raw(out, len(id_combo))
+                return
         out_len = Lr - cs - ce
         out_off = np.concatenate(([0], np.cumsum(out_len[:-1])))
         total = int(out_len.sum())

@@ -317,6 +317,11 @@ class BamWriter:
         self.bgzf.write(struct.pack("<I", len(body)) + body)
         self.count += 1
 
+    def write_raw(self, data, count: int) -> None:
+        """Append pre-assembled BAM record bytes (gio_emit_records)."""
+        self.bgzf.write(data.tobytes() if hasattr(data, "tobytes") else data)
+        self.count += count
+
     def write_groups(
         self,
         name_buf,               # u8 cat of group names (no NUL, no '@')

@@ -109,6 +109,18 @@ def _load() -> Optional[ctypes.CDLL]:
             _U8P, _U8P, _LONG, _LP,
             _I32P, _LP, _U8P, _U8P, _U8P,
         ]
+        _I16P = np.ctypeslib.ndpointer(dtype=np.int16, flags="C_CONTIGUOUS")
+        lib.gio_emit_records.restype = _LONG
+        lib.gio_emit_records.argtypes = [
+            _LONG,
+            _U8P, _LP, _LP,          # id
+            _U8P, _LP, _LP,          # seq
+            _U8P, _LP, _LP,          # qual
+            _U8P, _I16P, _I16P,      # rev cs ce
+            _LP,                     # group_ptr
+            _I32P, _LP,              # per-record ref_id, pos
+            _U8P, _LONG,             # out
+        ]
         _U32P = np.ctypeslib.ndpointer(dtype=np.uint32, flags="C_CONTIGUOUS")
         lib.gio_bam_fill.restype = None
         lib.gio_bam_fill.argtypes = [
@@ -425,6 +437,40 @@ def bam_fill(off, hdr, name_off, name_len, name_buf, cig, ncig,
         out,
     )
     return out
+
+
+def emit_records(
+    idc, ido, idl, sqc, sqo, sql, quc, quo, qul,
+    rev, cs, ce, group_ptr, ref_ids, poss, cap: int,
+):
+    """Native whole-batch BAM record assembly (gio_emit_records); returns
+    the record bytes as a uint8 array, or None when unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "gio_emit_records"):
+        return None
+    out = np.empty(cap, np.uint8)
+    n = lib.gio_emit_records(
+        len(ido),
+        np.ascontiguousarray(idc, np.uint8),
+        np.ascontiguousarray(ido, np.int64),
+        np.ascontiguousarray(idl, np.int64),
+        np.ascontiguousarray(sqc, np.uint8),
+        np.ascontiguousarray(sqo, np.int64),
+        np.ascontiguousarray(sql, np.int64),
+        np.ascontiguousarray(quc, np.uint8),
+        np.ascontiguousarray(quo, np.int64),
+        np.ascontiguousarray(qul, np.int64),
+        np.ascontiguousarray(rev, np.uint8),
+        np.ascontiguousarray(cs, np.int16),
+        np.ascontiguousarray(ce, np.int16),
+        np.ascontiguousarray(group_ptr, np.int64),
+        np.ascontiguousarray(ref_ids, np.int32),
+        np.ascontiguousarray(poss, np.int64),
+        out, cap,
+    )
+    if n < 0:
+        return None
+    return out[:n]
 
 
 def bgzf_block(data: bytes) -> Optional[bytes]:

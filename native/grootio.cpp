@@ -153,6 +153,138 @@ long gio_bgzf_block(const uint8_t* data, long n, uint8_t* out, long out_cap) {
     return bsize;
 }
 
+// ---------------------------------------------------------------------------
+// gio_emit_records: assemble a whole batch of BAM alignment records in one
+// pass (replaces hash_join._emit_flat's oriented-gather + bam.write_groups'
+// numpy scatter pipeline). Records are grouped per winning (read, graph)
+// combo; records of a group share the read's name/SEQ/QUAL and differ only
+// in (ref, pos, secondary flag) — the reference emits one sam.Record per
+// matching path (alignment.go:113-156), MAPQ 30, CIGAR [H]M[H].
+//
+// Group arrays (length G): id/seq/qual (offset, len) into their byte
+// buffers, rev/cs/ce orientation + clips, group_ptr [G+1] record spans.
+// Record arrays (length N = group_ptr[G]): ref_id, pos.
+// Returns bytes written to out, or -1 if out_cap was too small.
+static inline uint16_t gio_reg2bin(long beg, long end) {
+    end--;
+    if (beg >> 14 == end >> 14) return (uint16_t)(4681 + (beg >> 14));
+    if (beg >> 17 == end >> 17) return (uint16_t)(585 + (beg >> 17));
+    if (beg >> 20 == end >> 20) return (uint16_t)(73 + (beg >> 20));
+    if (beg >> 23 == end >> 23) return (uint16_t)(9 + (beg >> 23));
+    if (beg >> 26 == end >> 26) return (uint16_t)(1 + (beg >> 26));
+    return 0;
+}
+
+long gio_emit_records(
+    long G,
+    const uint8_t* idc, const long* ido, const long* idl,
+    const uint8_t* sqc, const long* sqo, const long* sql,
+    const uint8_t* quc, const long* quo, const long* qul,
+    const uint8_t* rev, const int16_t* cs16, const int16_t* ce16,
+    const long* group_ptr,
+    const int32_t* ref_ids, const long* poss,
+    uint8_t* out, long out_cap) {
+    // ASCII -> BAM nibble, plus the reverse-complement variant
+    // (complement ACGT/acgt, everything else N), matching
+    // _NIB_LUT[_rc_lut[...]] on the Python side.
+    static uint8_t NIBF[256], NIBR[256];
+    static bool init = false;
+    if (!init) {
+        const char* syms = "=ACMGRSVTWYHKDBN";
+        for (int i = 0; i < 256; i++) { NIBF[i] = 15; NIBR[i] = 15; }
+        for (int i = 0; i < 16; i++) NIBF[(uint8_t)syms[i]] = (uint8_t)i;
+        const char* fw = "ACGTacgt";
+        const char* cm = "TGCATGCA";
+        for (int i = 0; i < 8; i++)
+            NIBR[(uint8_t)fw[i]] = NIBF[(uint8_t)cm[i]];
+        init = true;
+    }
+    long w = 0;
+    for (long g = 0; g < G; g++) {
+        const long Lr = sql[g];
+        const long cs = cs16[g], ce = ce16[g];
+        const long olen = Lr - cs - ce;
+        const long nib_len = (olen + 1) / 2;
+        const long name_len = idl[g] + 1;  // + NUL
+        const int ncig = 1 + (cs > 0) + (ce > 0);
+        const bool rv = rev[g] != 0;
+        const long r0 = group_ptr[g], r1 = group_ptr[g + 1];
+        const bool multi = (r1 - r0) > 1;
+        const long body = 32 + name_len + 4 * ncig + nib_len + olen;
+        if (w + (r1 - r0) * (4 + body) > out_cap) return -1;
+
+        // group-shared payload: name, packed SEQ, QUAL (oriented + clipped)
+        // staged once into scratch, memcpy'd per record
+        uint8_t scratch[4096];
+        uint8_t* pay = (name_len + nib_len + olen <= (long)sizeof(scratch))
+                           ? scratch
+                           : new uint8_t[name_len + nib_len + olen];
+        memcpy(pay, idc + ido[g], idl[g]);
+        pay[idl[g]] = 0;
+        uint8_t* nib = pay + name_len;
+        const uint8_t* sq = sqc + sqo[g];
+        for (long i = 0; i < nib_len; i++) nib[i] = 0;
+        if (rv) {
+            // reverse-complement: base i comes from Lr-1-(cs+i)
+            for (long i = 0; i < olen; i++) {
+                const uint8_t v = NIBR[sq[Lr - 1 - (cs + i)]];
+                nib[i >> 1] |= (i & 1) ? v : (uint8_t)(v << 4);
+            }
+        } else {
+            for (long i = 0; i < olen; i++) {
+                const uint8_t v = NIBF[sq[cs + i]];
+                nib[i >> 1] |= (i & 1) ? v : (uint8_t)(v << 4);
+            }
+        }
+        uint8_t* qu = nib + nib_len;
+        if (qul[g] == Lr) {
+            const uint8_t* q = quc + quo[g];
+            for (long i = 0; i < olen; i++) {
+                const long src = rv ? (Lr - 1 - (cs + i)) : (cs + i);
+                const int v = (int)q[src] - 33;
+                qu[i] = (uint8_t)(v > 0 ? v : 0);
+            }
+        } else {
+            memset(qu, 0xff, olen);
+        }
+        uint32_t cig[3];
+        int nc = 0;
+        if (cs > 0) cig[nc++] = ((uint32_t)cs << 4) | 5;
+        cig[nc++] = (uint32_t)olen << 4;
+        if (ce > 0) cig[nc++] = ((uint32_t)ce << 4) | 5;
+
+        for (long r = r0; r < r1; r++) {
+            uint8_t* p = out + w;
+            const uint32_t bs = (uint32_t)body;
+            memcpy(p, &bs, 4);
+            const int32_t rid = ref_ids[r];
+            memcpy(p + 4, &rid, 4);
+            const int32_t pos = (int32_t)poss[r];
+            memcpy(p + 8, &pos, 4);
+            const uint32_t bin = gio_reg2bin(poss[r], poss[r] + olen);
+            const uint32_t bmn = ((uint32_t)name_len) | (30u << 8) | (bin << 16);
+            memcpy(p + 12, &bmn, 4);
+            uint32_t flag = rv ? 0x10u : 0u;
+            if (multi && r > r0) flag |= 0x100u;  // secondary
+            const uint32_t fnc = ((uint32_t)ncig) | (flag << 16);
+            memcpy(p + 16, &fnc, 4);
+            const uint32_t ol32 = (uint32_t)olen;
+            memcpy(p + 20, &ol32, 4);
+            const int32_t neg1 = -1;
+            memcpy(p + 24, &neg1, 4);  // next_refID
+            memcpy(p + 28, &neg1, 4);  // next_pos
+            const int32_t tlen = 0;
+            memcpy(p + 32, &tlen, 4);
+            memcpy(p + 36, pay, name_len);
+            memcpy(p + 36 + name_len, cig, 4 * nc);
+            memcpy(p + 36 + name_len + 4 * nc, nib, nib_len + olen);
+            w += 4 + body;
+        }
+        if (pay != scratch) delete[] pay;
+    }
+    return w;
+}
+
 // Compress a run of consecutive BGZF blocks (block size bs, last block may
 // be short) in one call — one GIL release for a whole batch instead of one
 // Python/ctypes/queue round-trip per 64KB block. Returns total bytes
