@@ -109,6 +109,10 @@ def _load() -> Optional[ctypes.CDLL]:
             _U8P, _U8P, _LONG, _LP,
             _I32P, _LP, _U8P, _U8P, _U8P,
         ]
+        lib.gio_gather_bytes.restype = None
+        lib.gio_gather_bytes.argtypes = [
+            ctypes.c_char_p, _LONG, _LP, _LP, _LP, _U8P,
+        ]
         _I16P = np.ctypeslib.ndpointer(dtype=np.int16, flags="C_CONTIGUOUS")
         lib.gio_emit_records.restype = _LONG
         lib.gio_emit_records.argtypes = [
@@ -437,6 +441,22 @@ def bam_fill(off, hdr, name_off, name_len, name_buf, cig, ncig,
         out,
     )
     return out
+
+
+def gather_bytes(buf, src_off, src_len, dst_off, out) -> bool:
+    """memcpy n byte ranges buf[src_off:+src_len] -> out[dst_off:]; False
+    when the native library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "gio_gather_bytes"):
+        return False
+    lib.gio_gather_bytes(
+        buf, len(src_off),
+        np.ascontiguousarray(src_off, np.int64),
+        np.ascontiguousarray(src_len, np.int64),
+        np.ascontiguousarray(dst_off, np.int64),
+        out,
+    )
+    return True
 
 
 def emit_records(

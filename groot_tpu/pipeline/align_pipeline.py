@@ -79,17 +79,25 @@ class ReadBatch:
                     np.concatenate(cats[j]) if cats[j] else np.empty(0, np.uint8)
                 )
         else:
+            from ..io import native as _native
+
+            use_native = _native.available()
             for buf, (io_, il, so, sl, qo, ql) in self._segs:
-                arr = np.frombuffer(buf, np.uint8)
+                arr = None if use_native else np.frombuffer(buf, np.uint8)
                 for j, (o, l, skip) in enumerate(
                     ((io_, il, 1), (so, sl, 0), (qo, ql, 0))
                 ):
                     l2 = (l - skip).astype(np.int64)
                     total = int(l2.sum())
-                    own = np.repeat(np.arange(len(o)), l2)
                     starts = np.concatenate(([0], np.cumsum(l2[:-1])))
-                    loc = np.arange(total) - starts[own]
-                    cats[j].append(arr[(o + skip)[own] + loc])
+                    if use_native:
+                        out = np.empty(total, np.uint8)
+                        _native.gather_bytes(buf, o + skip, l2, starts, out)
+                        cats[j].append(out)
+                    else:
+                        own = np.repeat(np.arange(len(o)), l2)
+                        loc = np.arange(total) - starts[own]
+                        cats[j].append(arr[(o + skip)[own] + loc])
                     lens[j].append(l2)
             for j in range(3):
                 ln = (

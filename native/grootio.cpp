@@ -16,6 +16,7 @@
 // native/Makefile (g++ -O3 -shared -fPIC, links zlib).
 
 #include <algorithm>
+#include <thread>
 #include <cstdint>
 #include <cstring>
 #include <zlib.h>
@@ -151,6 +152,17 @@ long gio_bgzf_block(const uint8_t* data, long n, uint8_t* out, long out_cap) {
     foot[4] = isize & 0xff; foot[5] = (isize >> 8) & 0xff;
     foot[6] = (isize >> 16) & 0xff; foot[7] = (isize >> 24) & 0xff;
     return bsize;
+}
+
+// ---------------------------------------------------------------------------
+// gio_gather_bytes: scatter-gather n variable-length byte ranges from buf
+// into out (the payload concatenation of align_pipeline.ReadBatch.payloads,
+// which cost ~0.4s/30k reads as numpy repeat/fancy-index glue).
+extern "C" void gio_gather_bytes(
+    const uint8_t* buf, long n, const long* src_off, const long* src_len,
+    const long* dst_off, uint8_t* out) {
+    for (long i = 0; i < n; i++)
+        memcpy(out + dst_off[i], buf + src_off[i], src_len[i]);
 }
 
 // ---------------------------------------------------------------------------
@@ -610,11 +622,11 @@ static inline bool gio_bverify(
     return true;
 }
 
-extern "C" long gio_find_matches(
-    const uint8_t* codes, long B, long stride, const long* lengths,
+static long gio_fm_range(
+    const uint8_t* codes, long stride, const long* lengths,
     long k,
     // combos sorted by (read, graph); only non-fallback combos passed
-    long nc, const long* c_read, const long* c_g,
+    long ci0, long ci1, const long* c_read, const long* c_g,
     // hash tables / path data
     const uint64_t* rpow, const uint64_t* rinv,
     const uint64_t* ph, const long* ph_start,
@@ -651,12 +663,12 @@ extern "C" long gio_find_matches(
     // per-read mini-join keys sans graph mix: mq[grp*k + q]
     uint64_t* mq = new uint64_t[4 * k];
 
-    long ci = 0;
+    long ci = ci0;
     long overflow = 0;  // 1 = out_cap too small, 2 = per-read scratch full
-    while (ci < nc && !overflow) {
+    while (ci < ci1 && !overflow) {
         const long b = c_read[ci];
         long ce = ci;
-        while (ce < nc && c_read[ce] == b) ce++;
+        while (ce < ci1 && c_read[ce] == b) ce++;
         const long Lr = lengths[b];
         const uint8_t* cs = codes + b * stride;
         for (long i = 0; i < Lr; i++) rc[i] = rc_of[cs[Lr - 1 - i]];
@@ -857,6 +869,83 @@ extern "C" long gio_find_matches(
     delete[] sc_pos;
     delete[] mq;
     return overflow ? -overflow : n_out;
+}
+
+// Threaded front end: combos split at a read boundary, each half searched
+// on its own core (independent reads; outputs concatenated in order so the
+// (read, graph) sort invariant holds). The ctypes caller releases the GIL,
+// so this overlaps Python-side work too.
+extern "C" long gio_find_matches(
+    const uint8_t* codes, long B, long stride, const long* lengths,
+    long k,
+    long nc, const long* c_read, const long* c_g,
+    const uint64_t* rpow, const uint64_t* rinv,
+    const uint64_t* ph, const long* ph_start,
+    const int32_t* path_len, const long* flat_start,
+    const uint8_t* flat_codes,
+    const uint8_t* tfree, const uint8_t* nrow, const int32_t* path_graph,
+    long n_anchor, const uint64_t* anchor_hash, const int32_t* anchor_row,
+    const int32_t* anchor_pos,
+    long n_mini, const uint64_t* mini_hash, const int32_t* mini_row,
+    const int32_t* mini_pos, const int8_t* mini_typ,
+    const int32_t* anchor_pref, const int32_t* mini_pref,
+    const uint64_t* len_mix, const uint64_t* g_mix,
+    long n_npos, const long* npos_gi, const int32_t* npos_row,
+    const int32_t* npos_pos,
+    long G,
+    long* m_b, int8_t* m_var, int32_t* m_row, int32_t* m_pos,
+    int64_t* m_key, long out_cap) {
+    (void)B;
+    long mid = nc / 2;
+    // advance to a read boundary
+    while (mid > 0 && mid < nc && c_read[mid] == c_read[mid - 1]) mid++;
+    if (nc < 512 || mid <= 0 || mid >= nc)
+        return gio_fm_range(
+            codes, stride, lengths, k, 0, nc, c_read, c_g, rpow, rinv, ph,
+            ph_start, path_len, flat_start, flat_codes, tfree, nrow,
+            path_graph, n_anchor, anchor_hash, anchor_row, anchor_pos,
+            n_mini, mini_hash, mini_row, mini_pos, mini_typ, anchor_pref,
+            mini_pref, len_mix, g_mix, n_npos, npos_gi, npos_row, npos_pos,
+            G, m_b, m_var, m_row, m_pos, m_key, out_cap);
+    long* t_b = new long[out_cap];
+    int8_t* t_var = new int8_t[out_cap];
+    int32_t* t_row = new int32_t[out_cap];
+    int32_t* t_pos = new int32_t[out_cap];
+    int64_t* t_key = new int64_t[out_cap];
+    long n2 = 0;
+    std::thread th([&]() {
+        n2 = gio_fm_range(
+            codes, stride, lengths, k, mid, nc, c_read, c_g, rpow, rinv, ph,
+            ph_start, path_len, flat_start, flat_codes, tfree, nrow,
+            path_graph, n_anchor, anchor_hash, anchor_row, anchor_pos,
+            n_mini, mini_hash, mini_row, mini_pos, mini_typ, anchor_pref,
+            mini_pref, len_mix, g_mix, n_npos, npos_gi, npos_row, npos_pos,
+            G, t_b, t_var, t_row, t_pos, t_key, out_cap);
+    });
+    long n1 = gio_fm_range(
+        codes, stride, lengths, k, 0, mid, c_read, c_g, rpow, rinv, ph,
+        ph_start, path_len, flat_start, flat_codes, tfree, nrow, path_graph,
+        n_anchor, anchor_hash, anchor_row, anchor_pos, n_mini, mini_hash,
+        mini_row, mini_pos, mini_typ, anchor_pref, mini_pref, len_mix,
+        g_mix, n_npos, npos_gi, npos_row, npos_pos, G, m_b, m_var, m_row,
+        m_pos, m_key, out_cap);
+    th.join();
+    long ret;
+    if (n1 < 0 || n2 < 0) {
+        ret = (n1 < 0) ? n1 : n2;
+    } else if (n1 + n2 > out_cap) {
+        ret = -1;
+    } else {
+        memcpy(m_b + n1, t_b, n2 * sizeof(long));
+        memcpy(m_var + n1, t_var, n2 * sizeof(int8_t));
+        memcpy(m_row + n1, t_row, n2 * sizeof(int32_t));
+        memcpy(m_pos + n1, t_pos, n2 * sizeof(int32_t));
+        memcpy(m_key + n1, t_key, n2 * sizeof(int64_t));
+        ret = n1 + n2;
+    }
+    delete[] t_b; delete[] t_var; delete[] t_row;
+    delete[] t_pos; delete[] t_key;
+    return ret;
 }
 
 // ---------------------------------------------------------------------------
