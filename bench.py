@@ -72,8 +72,10 @@ def main() -> int:
     ap.add_argument("--noAlign", action="store_true", help="seed+weight only")
     ap.add_argument("--batchSize", type=int, default=4096)
     ap.add_argument(
-        "--repeat", type=int, default=3,
-        help="replicate the read file N times (amortizes fixed setup)",
+        "--repeat", type=int, default=10,
+        help="replicate the read file N times (amortizes fixed setup; the"
+        " baseline claim is a 7.7M-read metagenome, so steady-state"
+        " throughput is the comparable quantity)",
     )
     args = ap.parse_args()
 

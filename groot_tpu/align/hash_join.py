@@ -148,10 +148,18 @@ class HashAligner:
         "w_multi", "w_seed_grow", "cn_ptr", "cn_grow", "cn_share", "cn_cnt",
     )
 
+    _SIDE_MAGIC = b"GROOTALN2\x00"
+
     def save_arrays(self, path: str) -> None:
         """Persist the setup arrays (pure functions of the index + k) plus
         the WindowTables arrays, so align skips the per-graph
-        packing/hashing entirely (the groot.align sidecar)."""
+        packing/hashing entirely (the groot.align sidecar). Format: magic +
+        pickled {name: (dtype, shape, offset)} header + 64-byte-aligned raw
+        array blobs — loads as ONE sequential read + np.frombuffer views
+        (np.savez went through zipfile + crc32 at ~100MB/s on load)."""
+        import pickle
+        import struct as _struct
+
         payload = {name: getattr(self, name) for name in self._ARRAYS}
         for name in self._WT_ARRAYS:
             payload["wt_" + name] = getattr(self.tables, name)
@@ -159,9 +167,26 @@ class HashAligner:
             [self.R, self.G, self.k, self._pos_bits], dtype=np.int64
         )
         payload["_fingerprint"] = self._fingerprint
-        tmp = path + ".tmp.npz"
+        payload = {
+            k_: np.ascontiguousarray(v) for k_, v in payload.items()
+        }
+        meta = {}
+        off = 0
+        for name, arr in payload.items():
+            off = (off + 63) & ~63
+            meta[name] = (arr.dtype.str, arr.shape, off)
+            off += arr.nbytes
+        hdr = pickle.dumps(meta, protocol=4)
+        tmp = path + ".tmp"
         with open(tmp, "wb") as fh:
-            np.savez(fh, **payload)
+            fh.write(self._SIDE_MAGIC)
+            fh.write(_struct.pack("<q", len(hdr)))
+            fh.write(hdr)
+            base = fh.tell()
+            for name, arr in payload.items():
+                pos = base + meta[name][2]
+                fh.seek(pos)
+                fh.write(arr.tobytes())
         os.replace(tmp, path)
 
     def try_load(self, index, path: str, k: int):
@@ -169,17 +194,33 @@ class HashAligner:
         WindowTables, or None when absent/stale. Staleness is detected by
         the index fingerprint stored in the sidecar (a sidecar written for
         a different/rebuilt groot.lshe, or a different k, is rejected)."""
+        import pickle
+        import struct as _struct
+
         from .batch_host import WindowTables
 
         try:
-            data = np.load(path)
-        except (OSError, ValueError):
+            with open(path, "rb") as fh:
+                magic = fh.read(len(self._SIDE_MAGIC))
+                if magic != self._SIDE_MAGIC:
+                    return None  # old/foreign format -> rebuild
+                (hlen,) = _struct.unpack("<q", fh.read(8))
+                meta = pickle.loads(fh.read(hlen))
+                blob = fh.read()
+        except (OSError, ValueError, EOFError, pickle.UnpicklingError):
             return None
         need = set(self._ARRAYS) | {"wt_" + n for n in self._WT_ARRAYS}
-        if (need - set(data.files)) or "_fingerprint" not in data.files:
+        if (need - set(meta)) or "_fingerprint" not in meta:
             return None
+
+        def get(name):
+            dt, shape, off = meta[name]
+            n = int(np.prod(shape)) if shape else 1
+            a = np.frombuffer(blob, dtype=np.dtype(dt), count=n, offset=off)
+            return a.reshape(shape)
+
         expect = _index_fingerprint(index, int(k))
-        if not np.array_equal(data["_fingerprint"], expect):
+        if not np.array_equal(get("_fingerprint"), expect):
             log.warning(
                 "groot.align sidecar does not match the loaded index; "
                 "rebuilding alignment tables"
@@ -188,10 +229,11 @@ class HashAligner:
         self._fingerprint = expect
         self._anchor_pref = None
         self._mini_pref = None
+        data = {name: get(name) for name in need}
         for name in self._ARRAYS:
             setattr(self, name, data[name])
         self.R, self.G, self.k, self._pos_bits = (
-            int(x) for x in data["_scalars"]
+            int(x) for x in get("_scalars")
         )
         tables = WindowTables.__new__(WindowTables)
         for name in self._WT_ARRAYS:

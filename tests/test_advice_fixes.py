@@ -67,11 +67,9 @@ def test_sidecar_fingerprint_rejects_stale(built_index, tmp_path):
     fresh3 = _make_aligner(built_index)[2].__class__(info.store)
     assert fresh3.try_load(index, cache, info.kmer_size) is None
 
-    # sidecar without a fingerprint (pre-fix format) -> stale
-    data = dict(np.load(cache))
-    data.pop("_fingerprint")
+    # pre-fix npz sidecar (no magic, no fingerprint) -> stale
     with open(cache, "wb") as fh:
-        np.savez(fh, **data)
+        np.savez(fh, path_len=np.arange(3))
     fresh4 = _make_aligner(built_index)[2].__class__(info.store)
     assert fresh4.try_load(index, cache, info.kmer_size) is None
 
