@@ -153,21 +153,39 @@ class WeightAccumulator:
     def __init__(self, tables: WindowTables):
         self.t = tables
         self.node_w = np.zeros(tables.num_nodes, dtype=np.float64)
-        self.graph_kt = {}  # gid -> float
+        # per-graph k-mer totals, indexed like tables.graph_ids
+        self.graph_kt = np.zeros(len(tables.graph_ids), dtype=np.float64)
+        self._w_gidx = np.searchsorted(
+            tables.graph_ids, tables.w_graph
+        ).astype(np.int32)
+        # contiguous views for the native replay
+        self._cn_ptr = np.ascontiguousarray(tables.cn_ptr, np.int64)
+        self._cn_cnt = np.ascontiguousarray(tables.cn_cnt, np.int32)
+        self._cn_grow = np.ascontiguousarray(tables.cn_grow, np.int64)
+        self._cn_share = np.ascontiguousarray(tables.cn_share, np.float64)
+        self._w_multi = np.ascontiguousarray(tables.w_multi, np.uint8)
 
     def add_pairs(self, wins: np.ndarray, kc: np.ndarray):
         """Replay increment_subpath for (window, kmer_count) pairs."""
         t = self.t
+        import os
+
+        if not os.environ.get("GROOT_NO_NATIVE_CASCADE"):
+            from ..io import native
+
+            if native.weight_pairs(
+                wins, kc, self._cn_ptr, self._cn_cnt, self._cn_grow,
+                self._cn_share, self._w_multi, self._w_gidx,
+                self.node_w, self.graph_kt,
+            ):
+                return
         flat, owner, _rank = csr_expand(t.cn_ptr, t.cn_cnt, wins)
         np.add.at(self.node_w, t.cn_grow[flat], t.cn_share[flat] * kc[owner])
         multi = t.w_multi[wins]
         if multi.any():
-            gids = t.w_graph[wins[multi]]
-            adds = np.floor(kc[multi])
-            for g in np.unique(gids):
-                self.graph_kt[int(g)] = self.graph_kt.get(int(g), 0.0) + float(
-                    adds[gids == g].sum()
-                )
+            np.add.at(
+                self.graph_kt, self._w_gidx[wins[multi]], np.floor(kc[multi])
+            )
 
     def flush(self, store: Dict[int, GrootGraph]):
         nz = np.flatnonzero(self.node_w)
@@ -176,10 +194,12 @@ class WeightAccumulator:
             store[int(gid)].get_node(int(seg)).kmer_freq += float(
                 self.node_w[row]
             )
-        for gid, kt in self.graph_kt.items():
-            store[gid].kmer_total += kt
+        for gi in np.flatnonzero(self.graph_kt):
+            store[int(self.t.graph_ids[gi])].kmer_total += float(
+                self.graph_kt[gi]
+            )
         self.node_w[:] = 0.0
-        self.graph_kt = {}
+        self.graph_kt[:] = 0.0
 
 
 def sort_hits(tables: WindowTables, rows: np.ndarray, wins: np.ndarray):

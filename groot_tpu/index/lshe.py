@@ -266,6 +266,27 @@ class ContainmentIndex:
                 order = np.argsort(fs, kind="stable")
                 self._full_table = (fs[order], order.astype(np.int64))
             fsig, forder = self._full_table
+            if not os.environ.get("GROOT_NO_NATIVE_CASCADE"):
+                from ..io import native
+
+                if not hasattr(self, "_full_native"):
+                    fpref = np.empty(65537, np.int32)
+                    fpref[:65536] = np.searchsorted(
+                        fsig, np.arange(65536, dtype=np.uint32) << np.uint32(16)
+                    )
+                    fpref[65536] = len(fsig)
+                    self._full_native = (
+                        np.ascontiguousarray(fsig, np.uint32),
+                        fpref,
+                        np.ascontiguousarray(forder, np.int64),
+                        np.ascontiguousarray(self.sketches, np.uint64),
+                    )
+                fn = self._full_native
+                res = native.lsh_query_full(
+                    hi, lo, qs_all, d, threshold, fn[0], fn[1], fn[2], fn[3]
+                )
+                if res is not None:
+                    return res
             qsig = _mix_bands_np(q64, s)[:, 0]
             lo_i = np.searchsorted(fsig, qsig, side="left")
             hi_i = np.searchsorted(fsig, qsig, side="right")

@@ -113,6 +113,24 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.gio_gather_bytes.argtypes = [
             ctypes.c_char_p, _LONG, _LP, _LP, _LP, _U8P,
         ]
+        _F64P = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
+        _U64P_ = np.ctypeslib.ndpointer(dtype=np.uint64, flags="C_CONTIGUOUS")
+        _U32P_ = np.ctypeslib.ndpointer(dtype=np.uint32, flags="C_CONTIGUOUS")
+        _I32Pq = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
+        _I64Pq = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
+        lib.gio_lsh_query_full32.restype = _LONG
+        lib.gio_lsh_query_full32.argtypes = [
+            _U32P_, _U32P_, _LONG, _LONG,
+            _F64P, ctypes.c_double, ctypes.c_double,
+            _U32P_, _I32Pq, _I64Pq, _U64P_,
+            _LP, _LP, _LONG,
+        ]
+        lib.gio_weight_pairs.restype = None
+        lib.gio_weight_pairs.argtypes = [
+            _LONG, _LP, _F64P,
+            _LP, _I32Pq, _LP, _F64P,
+            _U8P, _I32Pq, _F64P, _F64P,
+        ]
         _I16P = np.ctypeslib.ndpointer(dtype=np.int16, flags="C_CONTIGUOUS")
         lib.gio_emit_records.restype = _LONG
         lib.gio_emit_records.argtypes = [
@@ -441,6 +459,47 @@ def bam_fill(off, hdr, name_off, name_len, name_buf, cig, ncig,
         out,
     )
     return out
+
+
+def lsh_query_full(hi, lo, kc, d, threshold, fsig, fpref, forder, sketches):
+    """Native full-equality LSH query; returns (rows, wins) or None."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "gio_lsh_query_full32"):
+        return None
+    B, s = hi.shape
+    cap = max(B * 8, 4096)
+    for _ in range(4):
+        rows = np.empty(cap, np.int64)
+        wins = np.empty(cap, np.int64)
+        n = lib.gio_lsh_query_full32(
+            np.ascontiguousarray(hi, np.uint32),
+            np.ascontiguousarray(lo, np.uint32),
+            B, s,
+            np.ascontiguousarray(kc, np.float64), float(d), float(threshold),
+            fsig, fpref, forder,
+            np.ascontiguousarray(sketches, np.uint64),
+            rows, wins, cap,
+        )
+        if n >= 0:
+            return rows[:n], wins[:n]
+        cap *= 8
+    return None
+
+
+def weight_pairs(wins, kc, cn_ptr, cn_cnt, cn_grow, cn_share,
+                 w_multi, w_gidx, node_w, graph_kt) -> bool:
+    """Native increment_subpath weight replay; False when unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "gio_weight_pairs"):
+        return False
+    lib.gio_weight_pairs(
+        len(wins),
+        np.ascontiguousarray(wins, np.int64),
+        np.ascontiguousarray(kc, np.float64),
+        cn_ptr, cn_cnt, cn_grow, cn_share,
+        w_multi, w_gidx, node_w, graph_kt,
+    )
+    return True
 
 
 def gather_bytes(buf, src_off, src_len, dst_off, out) -> bool:

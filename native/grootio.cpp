@@ -155,6 +155,80 @@ long gio_bgzf_block(const uint8_t* data, long n, uint8_t* out, long out_cap) {
 }
 
 // ---------------------------------------------------------------------------
+// gio_lsh_query_full: the t=0.99 full-equality LSH fast path
+// (index/lshe.py query_batch_np): per read, a 32-bit FNV mix of all s
+// sketch slots, a bucketed lookup into the sorted full-sketch signature
+// table, then exact all-slot verification + the containment bound.
+// Emits flat (row, window) hits; returns the count, or -1 if cap is too
+// small. sig mix MUST match _mix_bands_np (lshe.py:47-60) op for op.
+extern "C" long gio_lsh_query_full32(
+    const uint32_t* hi, const uint32_t* lo, long B, long s,
+    const double* kc, double d, double threshold,
+    const uint32_t* fsig_sorted,   // [N] sorted u32 full-sketch sigs
+    const int32_t* fpref,          // [65537] bucket index over sig>>16
+    const int64_t* forder,         // [N] -> window id
+    const uint64_t* sketches,      // [N, s] u64
+    long* out_rows, long* out_wins, long cap) {
+    long n_out = 0;
+    for (long b = 0; b < B; b++) {
+        const uint32_t* h = hi + b * s;
+        const uint32_t* l = lo + b * s;
+        uint32_t sig = 2166136261u;
+        for (long j = 0; j < s; j++) {
+            sig = (sig ^ l[j]) * 16777619u;
+            sig = (sig ^ h[j]) * 16777619u;
+        }
+        long p0 = fpref[sig >> 16], p1 = fpref[(sig >> 16) + 1];
+        // lower_bound within the bucket
+        while (p0 < p1) {
+            long mid = (p0 + p1) >> 1;
+            if (fsig_sorted[mid] < sig) p0 = mid + 1; else p1 = mid;
+        }
+        const double q = kc[b];
+        const double contain = (q + d) / (2.0 * q);
+        if (!(contain > threshold)) continue;
+        for (long i = p0;
+             i < fpref[(sig >> 16) + 1] && fsig_sorted[i] == sig; i++) {
+            const long win = forder[i];
+            const uint64_t* sk = sketches + win * s;
+            bool eq = true;
+            for (long j = 0; j < s; j++) {
+                const uint64_t qv = ((uint64_t)h[j] << 32) | l[j];
+                if (sk[j] != qv) { eq = false; break; }
+            }
+            if (!eq) continue;
+            if (n_out >= cap) return -1;
+            out_rows[n_out] = b;
+            out_wins[n_out] = win;
+            n_out++;
+        }
+    }
+    return n_out;
+}
+
+// ---------------------------------------------------------------------------
+// gio_weight_pairs: the increment_subpath weight replay
+// (align/batch_host.WeightAccumulator.add_pairs): per (window, kmer_count)
+// pair, scatter cn_share * kc over the window's contained-node rows; multi-
+// node windows also add floor(kc) to their graph's k-mer total.
+extern "C" void gio_weight_pairs(
+    long n, const long* wins, const double* kc,
+    const long* cn_ptr, const int32_t* cn_cnt,
+    const long* cn_grow, const double* cn_share,
+    const uint8_t* w_multi, const int32_t* w_gidx,
+    double* node_w, double* graph_kt) {
+    for (long i = 0; i < n; i++) {
+        const long w = wins[i];
+        const double k = kc[i];
+        const long o = cn_ptr[w];
+        const long c = cn_cnt[w];
+        for (long j = 0; j < c; j++)
+            node_w[cn_grow[o + j]] += cn_share[o + j] * k;
+        if (w_multi[w]) graph_kt[w_gidx[w]] += (double)(long)k;
+    }
+}
+
+// ---------------------------------------------------------------------------
 // gio_gather_bytes: scatter-gather n variable-length byte ranges from buf
 // into out (the payload concatenation of align_pipeline.ReadBatch.payloads,
 // which cost ~0.4s/30k reads as numpy repeat/fancy-index glue).
