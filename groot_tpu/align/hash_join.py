@@ -549,6 +549,12 @@ class HashAligner:
             )
             if out is not None:
                 return out
+        if rc is None:
+            L = codes.shape[1]
+            rev_idx = np.clip(
+                lengths[:, None] - 1 - np.arange(L)[None, :], 0, L - 1
+            )
+            rc = RC_CODE_NP[np.take_along_axis(codes, rev_idx, 1)]
         L = codes.shape[1]
         eff = lengths[cand_b] - (cand_v % 3 != 0)
         cs = (cand_v % 3 == 1).astype(np.int64)
@@ -879,12 +885,6 @@ class HashAligner:
         # byte verification of every winning match (collision guard): a
         # failed combo is retried on the legacy engine
         if len(id_combo):
-            if rc is None:
-                L = codes.shape[1]
-                rev_idx = np.clip(
-                    lengths[:, None] - 1 - np.arange(L)[None, :], 0, L - 1
-                )
-                rc = RC_CODE_NP[np.take_along_axis(codes, rev_idx, 1)]
             vvar = combo_ori[id_combo] * 3 + np.where(
                 combo_cs[id_combo] == 1, 1,
                 np.where(combo_ce[id_combo] == 1, 2, 0),

@@ -106,7 +106,7 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.gio_verify.restype = None
         lib.gio_verify.argtypes = [
             _LONG, _LP, _I8P, _LP, _LP,
-            _U8P, _U8P, _LONG, _LP,
+            _U8P, _U8P, _LONG, _LONG, _LP,
             _I32P, _LP, _U8P, _U8P, _U8P,
         ]
         lib.gio_gather_bytes.restype = None
@@ -408,21 +408,23 @@ def find_matches(aligner, codes, lengths, c_read, c_g):
 
 def verify(cand_b, cand_v, cand_row, cand_pos, codes, rc, lengths,
            path_len, flat_start, flat_codes, tfree):
-    """Native wildcard byte verification; None if unavailable."""
+    """Native wildcard byte verification; None if unavailable. rc may be
+    None: reverse-complement bases are then derived in C from codes."""
     lib = _load()
     if lib is None or not hasattr(lib, "gio_verify"):
         return None
     n = len(cand_b)
     out = np.empty(n, np.uint8)
     codes = np.ascontiguousarray(codes, np.uint8)
-    rc = np.ascontiguousarray(rc, np.uint8)
+    has_rc = rc is not None
+    rc = codes if rc is None else np.ascontiguousarray(rc, np.uint8)
     lib.gio_verify(
         n,
         np.ascontiguousarray(cand_b, np.int64),
         np.ascontiguousarray(cand_v, np.int8),
         np.ascontiguousarray(cand_row, np.int64),
         np.ascontiguousarray(cand_pos, np.int64),
-        codes, rc, codes.shape[1],
+        codes, rc, int(has_rc), codes.shape[1],
         np.ascontiguousarray(lengths, np.int64),
         np.ascontiguousarray(path_len, np.int32),
         np.ascontiguousarray(flat_start, np.int64),

@@ -402,9 +402,9 @@ long gio_bgzf_many(
 // match semantics are precomputed on the host (hash join): a match
 // (var, row, pos) states that read-variant `var` matches path row `row` at
 // `pos` (wildcards and dead-end overhangs already resolved).
-extern "C" long gio_cascade(
+static long gio_cascade_range(
     // combos
-    long nc, const long* c_mlo, const long* c_mcnt,
+    long ci0, long ci1, const long* c_mlo, const long* c_mcnt,
     const long* c_pair_start, const long* c_pair_cnt, const uint8_t* c_fb,
     // matches (combo-segmented)
     const int8_t* m_var, const int32_t* m_row, const int32_t* m_pos,
@@ -424,7 +424,7 @@ extern "C" long gio_cascade(
     int32_t* out_combo, int32_t* out_row, int32_t* out_pos, long out_cap) {
     long n_out = 0;
     const long BIGJ = 1L << 60;
-    for (long ci = 0; ci < nc; ci++) {
+    for (long ci = ci0; ci < ci1; ci++) {
         combo_win[ci] = -1;
         combo_ori[ci] = 0;
         combo_stage[ci] = 0;
@@ -542,6 +542,61 @@ extern "C" long gio_cascade(
     return n_out;
 }
 
+// Threaded front end for the cascade: combos are independent; the per-combo
+// outputs are disjoint writes, the flat id lists concatenate (downstream
+// re-sorts ids by (combo, row, pos), hash_join.process_batch).
+extern "C" long gio_cascade(
+    long nc, const long* c_mlo, const long* c_mcnt,
+    const long* c_pair_start, const long* c_pair_cnt, const uint8_t* c_fb,
+    const int8_t* m_var, const int32_t* m_row, const int32_t* m_pos,
+    const long* p_seed_grow, const int32_t* p_off, const int32_t* p_span,
+    const long* p_cn_ptr, const int32_t* p_cn_cnt,
+    const long* cn_grow,
+    const long* node_base, const int32_t* node_g, const long* g_first_row,
+    const int32_t* npos_dense, const int32_t* node_len,
+    int n_shuffles,
+    int32_t* combo_win, int8_t* combo_ori, int8_t* combo_stage,
+    int32_t* out_combo, int32_t* out_row, int32_t* out_pos, long out_cap) {
+    if (nc < 256)
+        return gio_cascade_range(
+            0, nc, c_mlo, c_mcnt, c_pair_start, c_pair_cnt, c_fb, m_var,
+            m_row, m_pos, p_seed_grow, p_off, p_span, p_cn_ptr, p_cn_cnt,
+            cn_grow, node_base, node_g, g_first_row, npos_dense, node_len,
+            n_shuffles, combo_win, combo_ori, combo_stage, out_combo,
+            out_row, out_pos, out_cap);
+    const long mid = nc / 2;
+    int32_t* t_combo = new int32_t[out_cap];
+    int32_t* t_row = new int32_t[out_cap];
+    int32_t* t_pos = new int32_t[out_cap];
+    long n2 = 0;
+    std::thread th([&]() {
+        n2 = gio_cascade_range(
+            mid, nc, c_mlo, c_mcnt, c_pair_start, c_pair_cnt, c_fb, m_var,
+            m_row, m_pos, p_seed_grow, p_off, p_span, p_cn_ptr, p_cn_cnt,
+            cn_grow, node_base, node_g, g_first_row, npos_dense, node_len,
+            n_shuffles, combo_win, combo_ori, combo_stage, t_combo, t_row,
+            t_pos, out_cap);
+    });
+    long n1 = gio_cascade_range(
+        0, mid, c_mlo, c_mcnt, c_pair_start, c_pair_cnt, c_fb, m_var,
+        m_row, m_pos, p_seed_grow, p_off, p_span, p_cn_ptr, p_cn_cnt,
+        cn_grow, node_base, node_g, g_first_row, npos_dense, node_len,
+        n_shuffles, combo_win, combo_ori, combo_stage, out_combo, out_row,
+        out_pos, out_cap);
+    th.join();
+    long ret;
+    if (n1 + n2 > out_cap) {
+        ret = out_cap + 1;  // caller treats > cap as overflow
+    } else {
+        memcpy(out_combo + n1, t_combo, n2 * sizeof(int32_t));
+        memcpy(out_row + n1, t_row, n2 * sizeof(int32_t));
+        memcpy(out_pos + n1, t_pos, n2 * sizeof(int32_t));
+        ret = n1 + n2;
+    }
+    delete[] t_combo; delete[] t_row; delete[] t_pos;
+    return ret;
+}
+
 // ---------------------------------------------------------------------------
 // gio_verify: wildcard-aware byte verification of candidate matches
 // (hash_join._verify_candidates): candidate (b, v, row, pos) matches iff
@@ -550,17 +605,19 @@ extern "C" long gio_cascade(
 extern "C" void gio_verify(
     long n, const long* cand_b, const int8_t* cand_v, const long* cand_row,
     const long* cand_pos,
-    const uint8_t* codes, const uint8_t* rc, long stride,  // [B, stride]
+    const uint8_t* codes, const uint8_t* rc, long has_rc,
+    long stride,  // [B, stride]
     const long* lengths,
     const int32_t* path_len, const long* flat_start,
     const uint8_t* flat_codes, const uint8_t* tfree,
     uint8_t* out) {
+    static const uint8_t RC5[5] = {3, 2, 1, 0, 4};
     for (long c = 0; c < n; c++) {
         const long b = cand_b[c];
         const int v = cand_v[c];
-        const long eff = lengths[b] - (v % 3 != 0 ? 1 : 0);
+        const long Lr = lengths[b];
+        const long eff = Lr - (v % 3 != 0 ? 1 : 0);
         const long cs = (v % 3 == 1) ? 1 : 0;
-        const uint8_t* src = (v >= 3 ? rc : codes) + b * stride + cs;
         const long row = cand_row[c];
         const long plen = path_len[row];
         const long pos = cand_pos[c];
@@ -568,9 +625,21 @@ extern "C" void gio_verify(
         long in_path = plen - pos;
         if (in_path > eff) in_path = in_path < 0 ? 0 : eff;
         bool ok = true;
-        for (long i = 0; i < in_path; i++) {
-            const uint8_t pb = path[i];
-            if (pb != src[i] && pb != 4) { ok = false; break; }
+        if (v >= 3 && !has_rc) {
+            // derive reverse-complement bases on the fly (no rc matrix)
+            const uint8_t* cr = codes + b * stride;
+            for (long i = 0; i < in_path; i++) {
+                const uint8_t pb = path[i];
+                const uint8_t sb = RC5[cr[Lr - 1 - (cs + i)]];
+                if (pb != sb && pb != 4) { ok = false; break; }
+            }
+        } else {
+            const uint8_t* src =
+                (v >= 3 ? rc : codes) + b * stride + cs;
+            for (long i = 0; i < in_path; i++) {
+                const uint8_t pb = path[i];
+                if (pb != src[i] && pb != 4) { ok = false; break; }
+            }
         }
         if (ok && in_path < eff && !tfree[row]) ok = false;  // overhang
         out[c] = ok ? 1 : 0;
@@ -734,6 +803,8 @@ static long gio_fm_range(
     long* sc_var = new long[scratch_cap];
     long* sc_row = new long[scratch_cap];
     long* sc_pos = new long[scratch_cap];
+    long* sc_ord = new long[scratch_cap];
+    long* sc_tmp = new long[3 * scratch_cap];
     // per-read mini-join keys sans graph mix: mq[grp*k + q]
     uint64_t* mq = new uint64_t[4 * k];
 
@@ -899,23 +970,18 @@ static long gio_fm_range(
         }
         // ---- sort this read's matches by graph ----------------------
         {
-            long* ord = new long[n_sc];
-            for (long i = 0; i < n_sc; i++) ord[i] = i;
-            std::stable_sort(ord, ord + n_sc, [&](long x, long y) {
+            for (long i = 0; i < n_sc; i++) sc_ord[i] = i;
+            std::stable_sort(sc_ord, sc_ord + n_sc, [&](long x, long y) {
                 return path_graph[sc_row[x]] < path_graph[sc_row[y]];
             });
-            long* tv = new long[n_sc];
-            long* tr = new long[n_sc];
-            long* tp = new long[n_sc];
             for (long i = 0; i < n_sc; i++) {
-                tv[i] = sc_var[ord[i]];
-                tr[i] = sc_row[ord[i]];
-                tp[i] = sc_pos[ord[i]];
+                sc_tmp[i] = sc_var[sc_ord[i]];
+                sc_tmp[n_sc + i] = sc_row[sc_ord[i]];
+                sc_tmp[2 * n_sc + i] = sc_pos[sc_ord[i]];
             }
-            memcpy(sc_var, tv, n_sc * sizeof(long));
-            memcpy(sc_row, tr, n_sc * sizeof(long));
-            memcpy(sc_pos, tp, n_sc * sizeof(long));
-            delete[] ord; delete[] tv; delete[] tr; delete[] tp;
+            memcpy(sc_var, sc_tmp, n_sc * sizeof(long));
+            memcpy(sc_row, sc_tmp + n_sc, n_sc * sizeof(long));
+            memcpy(sc_pos, sc_tmp + 2 * n_sc, n_sc * sizeof(long));
         }
         if (n_sc >= scratch_cap) {
             overflow = 2;
@@ -941,6 +1007,8 @@ static long gio_fm_range(
     delete[] sc_var;
     delete[] sc_row;
     delete[] sc_pos;
+    delete[] sc_ord;
+    delete[] sc_tmp;
     delete[] mq;
     return overflow ? -overflow : n_out;
 }
