@@ -227,14 +227,13 @@ class HashAligner:
             )
             return None
         self._fingerprint = expect
-        self._anchor_pref = None
-        self._mini_pref = None
         data = {name: get(name) for name in need}
         for name in self._ARRAYS:
             setattr(self, name, data[name])
         self.R, self.G, self.k, self._pos_bits = (
             int(x) for x in get("_scalars")
         )
+        self._finish_setup()
         tables = WindowTables.__new__(WindowTables)
         for name in self._WT_ARRAYS:
             setattr(tables, name, data["wt_" + name])
@@ -430,8 +429,6 @@ class HashAligner:
             np.concatenate(mtyp_parts) if mtyp_parts else np.empty(0, np.int8)
         )
         order = np.argsort(mk, kind="stable")
-        self._anchor_pref = None  # lazy 16-bit-prefix bucket indexes (io.native)
-        self._mini_pref = None
         self.mini_hash = mk[order]
         self.mini_row = mrow[order]
         self.mini_pos = mpos[order]
@@ -474,6 +471,8 @@ class HashAligner:
                 grow += 1
         self.npos_dense = npos_dense
 
+        self._finish_setup()
+
         # global BAM ref id per path row (build_references numbering)
         if self.references is not None:
             self.ref_id_by_prow = np.array(
@@ -488,26 +487,42 @@ class HashAligner:
         else:
             self.ref_id_by_prow = None
 
+    def _finish_setup(self) -> None:
+        """Shared-table epilogue for attach_tables/try_load: the 16-bit
+        prefix bucket indexes (io.native) built eagerly, plus the locks the
+        pooled batch workers need (align_pipeline._run_align_pooled)."""
+        import threading
+
+        from ..io.native import _prefix16
+
+        self._anchor_pref = _prefix16(self.anchor_hash)
+        self._mini_pref = _prefix16(self.mini_hash)
+        self._pow_lock = threading.Lock()
+        self._fb_lock = threading.Lock()
+
     def _ensure_pow(self, n: int) -> None:
         """Grow rpow/rinv to cover indices < n. The setup sizes them for
         max(path Lmax, 8192)+2, but both tables are also indexed by READ
         length (PHf/PHr prefixes, native gio_find_matches) — a long-read
         batch beyond that would read out of bounds."""
-        old = len(self.rpow)
-        if n <= old:
+        if n <= len(self.rpow):
             return
-        rpow = np.empty(n, dtype=np.uint64)
-        rinv = np.empty(n, dtype=np.uint64)
-        rpow[:old] = self.rpow
-        rinv[:old] = self.rinv
-        with np.errstate(over="ignore"):
-            rb = np.uint64(RBASE)
-            ri = np.uint64(_RINV_INT)
-            for i in range(old, n):
-                rpow[i] = rpow[i - 1] * rb
-                rinv[i] = rinv[i - 1] * ri
-        self.rpow = rpow
-        self.rinv = rinv
+        with self._pow_lock:
+            old = len(self.rpow)
+            if n <= old:
+                return
+            rpow = np.empty(n, dtype=np.uint64)
+            rinv = np.empty(n, dtype=np.uint64)
+            rpow[:old] = self.rpow
+            rinv[:old] = self.rinv
+            with np.errstate(over="ignore"):
+                rb = np.uint64(RBASE)
+                ri = np.uint64(_RINV_INT)
+                for i in range(old, n):
+                    rpow[i] = rpow[i - 1] * rb
+                    rinv[i] = rinv[i - 1] * ri
+            self.rpow = rpow
+            self.rinv = rinv
 
     def _pack(self, graph: GrootGraph) -> _GraphPack:
         gp = self._packs.get(graph.graph_id)
@@ -942,14 +957,16 @@ class HashAligner:
                     float(kc_read[c_read[ci]]),
                 )
             )
-        for gid, items in fb_items.items():
-            graph = self.store[gid]
-            results = self.legacy.align_read_batch(graph, items)
-            for records, _nw in results:
-                stats.alignment_count += len(records)
-                if bam_writer is not None:
-                    for rec in records:
-                        bam_writer.write(rec)
+        if fb_items:
+            with self._fb_lock:  # legacy path mutates shared graph weights
+                for gid, items in fb_items.items():
+                    graph = self.store[gid]
+                    results = self.legacy.align_read_batch(graph, items)
+                    for records, _nw in results:
+                        stats.alignment_count += len(records)
+                        if bam_writer is not None:
+                            for rec in records:
+                                bam_writer.write(rec)
         return
 
     def _winners_np(

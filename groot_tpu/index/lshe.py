@@ -223,6 +223,26 @@ class ContainmentIndex:
                 hits[g].sort(key=lambda k: (k.node, k.offset))
         return out
 
+    def _build_full_table(self) -> None:
+        """Full-sketch signature table for the all-slot-equality fast path
+        (built once; call before sharing the index across threads)."""
+        s = self.sketch_size
+        fs = _mix_bands_np(self.sketches, s)[:, 0]  # [N]
+        order = np.argsort(fs, kind="stable")
+        fsig, forder = fs[order], order.astype(np.int64)
+        fpref = np.empty(65537, np.int32)
+        fpref[:65536] = np.searchsorted(
+            fsig, np.arange(65536, dtype=np.uint32) << np.uint32(16)
+        )
+        fpref[65536] = len(fsig)
+        self._full_native = (
+            np.ascontiguousarray(fsig, np.uint32),
+            fpref,
+            np.ascontiguousarray(forder, np.int64),
+            np.ascontiguousarray(self.sketches, np.uint64),
+        )
+        self._full_table = (fsig, forder)
+
     def query_batch_np(
         self,
         sketch_hi,
@@ -262,25 +282,11 @@ class ContainmentIndex:
         eq_bound = s * threshold * qs_all / (qs_all + d - threshold * qs_all)
         if np.all(eq_bound >= s - 1) and not force_banded:
             if not hasattr(self, "_full_table"):
-                fs = _mix_bands_np(self.sketches, s)[:, 0]  # [N]
-                order = np.argsort(fs, kind="stable")
-                self._full_table = (fs[order], order.astype(np.int64))
+                self._build_full_table()
             fsig, forder = self._full_table
             if not os.environ.get("GROOT_NO_NATIVE_CASCADE"):
                 from ..io import native
 
-                if not hasattr(self, "_full_native"):
-                    fpref = np.empty(65537, np.int32)
-                    fpref[:65536] = np.searchsorted(
-                        fsig, np.arange(65536, dtype=np.uint32) << np.uint32(16)
-                    )
-                    fpref[65536] = len(fsig)
-                    self._full_native = (
-                        np.ascontiguousarray(fsig, np.uint32),
-                        fpref,
-                        np.ascontiguousarray(forder, np.int64),
-                        np.ascontiguousarray(self.sketches, np.uint64),
-                    )
                 fn = self._full_native
                 res = native.lsh_query_full(
                     hi, lo, qs_all, d, threshold, fn[0], fn[1], fn[2], fn[3]

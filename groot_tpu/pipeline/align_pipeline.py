@@ -349,9 +349,28 @@ def run_align(
     import time as _time
 
     t_start = _time.time()
-    pending = None  # one-deep pipeline: cascade of batch i drains while
-    # batch i+1 sketches/queries/packs (device + host overlap)
-    for batch in batches:
+    from ..io import native as _native
+
+    # pooled execution needs the native emit path (the sink collects raw
+    # record bytes); GROOT_NO_NATIVE_CASCADE forces the numpy write_groups
+    # route, which writes through the real BamWriter -> stay sequential
+    use_pool = (
+        not no_align
+        and aligner is not None
+        and hasattr(aligner, "process_batch")
+        and _native.available()
+        and not os.environ.get("GROOT_NO_NATIVE_CASCADE")
+        and not os.environ.get("GROOT_SEQUENTIAL")
+    )
+    if use_pool:
+        raw_count, length_total = _run_align_pooled(
+            info, batches, aligner, bam_writer, stats, k, s, t, tables,
+            batch_size, t_start,
+        )
+    else:
+      pending = None  # one-deep pipeline: cascade of batch i drains while
+      # batch i+1 sketches/queries/packs (device + host overlap)
+      for batch in batches:
         raw_count += batch.n_valid
         length_total += int(batch.lengths[: batch.n_valid].sum())
         if batch.n < batch_size:
@@ -370,7 +389,7 @@ def run_align(
             raw_count,
             raw_count / max(_time.time() - t_start, 1e-9),
         )
-    if pending is not None:
+      if pending is not None:
         p_batch, p_calls, p_rows, p_wins, p_kc = pending
         aligner.collect_pairs(
             p_calls, p_batch, p_rows, p_wins, p_kc, acc, bam_writer, stats
@@ -410,6 +429,103 @@ def run_align(
 
 
 _TIMING = os.environ.get("GROOT_TIMING", "")
+
+
+class _RecSink:
+    """Per-batch BAM record collector for the pooled path: workers append
+    pre-assembled record bytes (write_raw) or fallback AlignmentRecords
+    (write); the main thread replays them onto the real writer in batch
+    order, keeping the output deterministic."""
+
+    def __init__(self):
+        self.items: List = []
+
+    def write_raw(self, data, count: int) -> None:
+        self.items.append(("raw", data, count))
+
+    def write(self, rec) -> None:
+        self.items.append(("rec", rec, 1))
+
+    def replay(self, bam_writer) -> None:
+        if bam_writer is None:
+            return
+        for kind, item, count in self.items:
+            if kind == "raw":
+                bam_writer.write_raw(item, count)
+            else:
+                bam_writer.write(item)
+
+
+def _run_align_pooled(
+    info, batches, aligner, bam_writer, stats, k, s, t, tables,
+    batch_size, t_start,
+) -> Tuple[int, int]:
+    """Two-worker batch pipeline for the hash-join aligner: the native
+    sketch/query/join/cascade/emit calls release the GIL, so two batches
+    process concurrently on the two host cores while the BGZF worker
+    compresses and the ingest thread decodes — the boss/minion fan-out of
+    the reference (boss.go:134-203) at batch granularity. BAM bytes and
+    stats are collected per batch and merged in submission order."""
+    import collections
+    import threading
+    import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..align.batch_host import WeightAccumulator
+
+    workers = max(int(os.environ.get("GROOT_WORKERS", "2")), 1)
+    accs: Dict[int, WeightAccumulator] = {}
+
+    def work(batch):
+        tid = threading.get_ident()
+        acc = accs.get(tid)
+        if acc is None:
+            accs[tid] = acc = WeightAccumulator(tables)
+        st = AlignStats()
+        sink = _RecSink() if bam_writer is not None else None
+        _process_batch(info, batch, aligner, sink, st, k, s, t, tables, acc)
+        return st, sink
+
+    raw_count = 0
+    length_total = 0
+    done_count = 0
+    pool = ThreadPoolExecutor(max_workers=workers)
+    futures: "collections.deque" = collections.deque()
+
+    def drain_one():
+        nonlocal done_count
+        st, sink = futures.popleft().result()
+        if sink is not None:
+            sink.replay(bam_writer)
+        stats.received += st.received
+        stats.mapped += st.mapped
+        stats.multimapped += st.multimapped
+        stats.alignment_count += st.alignment_count
+        done_count += st.received
+        log.info(
+            "\tprocessed %d reads (%.0f reads/s)",
+            done_count,
+            done_count / max(_time.time() - t_start, 1e-9),
+        )
+
+    try:
+        for batch in batches:
+            raw_count += batch.n_valid
+            length_total += int(batch.lengths[: batch.n_valid].sum())
+            if batch.n < batch_size:
+                _pad_batch(batch, batch_size, k)
+            futures.append(pool.submit(work, batch))
+            while len(futures) > workers or (
+                futures and futures[0].done()
+            ):
+                drain_one()
+        while futures:
+            drain_one()
+    finally:
+        pool.shutdown(wait=True)
+    for acc in accs.values():
+        acc.flush(info.store)
+    return raw_count, length_total
 
 
 def _pad_batch(batch: ReadBatch, batch_size: int, k: int) -> None:
