@@ -497,6 +497,9 @@ class HashAligner:
 
         self._anchor_pref = _prefix16(self.anchor_hash)
         self._mini_pref = _prefix16(self.mini_hash)
+        self._max_paths = (
+            int(np.diff(self.g_first_row).max()) if self.G else 1
+        )
         self._pow_lock = threading.Lock()
         self._fb_lock = threading.Lock()
 
@@ -821,6 +824,7 @@ class HashAligner:
 
         rc = None
         res = None
+        phf = phr = None
         if not os.environ.get("GROOT_NO_NATIVE_CASCADE"):
             from ..io import native
 
@@ -828,7 +832,7 @@ class HashAligner:
                 self, codes, lengths, c_read[~c_fb], c_g[~c_fb]
             )
         if res is not None:
-            m_b, m_var, m_row, m_pos, mkey = res
+            m_b, m_var, m_row, m_pos, mkey, phf, phr = res
         else:
             active = np.zeros(len(codes), dtype=bool)
             active[c_read[~c_fb]] = True
@@ -852,7 +856,9 @@ class HashAligner:
         from ..io import native
 
         res = None
-        if not os.environ.get("GROOT_NO_NATIVE_CASCADE"):
+        if phf is not None:
+            # the native match list holds only full-variant matches; the
+            # native cascade probes clip variants lazily (stage 3/4)
             res = native.cascade(
                 c_mlo, c_mcnt, combo_start, pair_cnt, c_fb,
                 m_var, m_row, m_pos,
@@ -861,7 +867,23 @@ class HashAligner:
                 self.node_base, self.node_g, self.g_first_row,
                 self.npos_dense, self.node_len,
                 NODE_SHUFFLES,
+                c_read, codes, lengths, phf, phr,
+                self.rinv, self.ph, self.ph_start, self.path_len,
+                self.tfree.astype(np.uint8), self.nrow.astype(np.uint8),
+                self.flat_codes, self.flat_start,
+                len(m_var) + n_combos * self._max_paths + 1024,
             )
+            if res is None:
+                # native cascade unavailable mid-run: redo the search with
+                # the numpy engine (its match list carries clip variants)
+                active = np.zeros(len(codes), dtype=bool)
+                active[c_read[~c_fb]] = True
+                m_b, m_var, m_row, m_pos, mkey, rc = self._find_matches(
+                    codes, lengths, active, c_read[~c_fb], c_g[~c_fb]
+                )
+                c_mlo = np.searchsorted(mkey, ckey, side="left")
+                c_mhi = np.searchsorted(mkey, ckey, side="right")
+                c_mcnt = np.where(c_fb, 0, c_mhi - c_mlo)
         if res is not None:
             cwin, c_ori8, c_stage8, id_combo, id_row, id_pos = res
             win = cwin.astype(np.int64)

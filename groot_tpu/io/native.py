@@ -65,6 +65,7 @@ def _load() -> Optional[ctypes.CDLL]:
         ]
         _I8P = np.ctypeslib.ndpointer(dtype=np.int8, flags="C_CONTIGUOUS")
         _I32P = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
+        _U64Pc = np.ctypeslib.ndpointer(dtype=np.uint64, flags="C_CONTIGUOUS")
         lib.gio_cascade.restype = _LONG
         lib.gio_cascade.argtypes = [
             _LONG, _LP, _LP, _LP, _LP, _U8P,         # combos
@@ -73,6 +74,10 @@ def _load() -> Optional[ctypes.CDLL]:
             _LP,                                      # cn_grow
             _LP, _I32P, _LP, _I32P, _I32P,            # node lookup
             ctypes.c_int,                             # n_shuffles
+            _LP, _U8P, _LONG, _LP,                    # c_read codes stride len
+            _U64Pc, _U64Pc,                           # phf phr
+            _U64Pc, _U64Pc, _LP,                      # rinv ph ph_start
+            _I32P, _U8P, _U8P, _U8P, _LP,             # plen tfree nrow flat
             _I32P, _I8P, _I8P,                        # combo outputs
             _I32P, _I32P, _I32P, _LONG,               # ids out
         ]
@@ -88,6 +93,7 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.gio_find_matches.argtypes = [
             _U8P, _LONG, _LONG, _LP, _LONG,          # reads
             _LONG, _LP, _LP,                          # combos
+            _U64P, _U64P,                             # phf phr outputs
             _U64P, _U64P, _U64P, _LP,                 # rpow rinv ph ph_start
             _I32P_, _LP, _U8P, _U8P, _U8P, _I32P_,    # path data
             _LONG, _U64P, _I32P_, _I32P_,             # anchors
@@ -253,8 +259,12 @@ def cascade(
     p_seed_grow, p_off, p_span, p_cn_ptr, p_cn_cnt, cn_grow,
     node_base, node_g, g_first_row, npos_dense, node_len,
     n_shuffles: int,
+    c_read, codes, lengths, phf_all, phr_all,
+    rinv, ph, ph_start, path_len, tfree, nrow, flat_codes, flat_start,
+    id_cap: int,
 ):
-    """Native staged-winner evaluation (see native/grootio.cpp gio_cascade).
+    """Native staged-winner evaluation (see native/grootio.cpp gio_cascade);
+    stages 3/4 probe clip variants lazily via the per-read prefix hashes.
     Returns (combo_win, combo_ori, combo_stage, id_combo, id_row, id_pos)
     or None when the native library is unavailable."""
     lib = _load()
@@ -264,10 +274,11 @@ def cascade(
     combo_win = np.empty(nc, np.int32)
     combo_ori = np.empty(nc, np.int8)
     combo_stage = np.empty(nc, np.int8)
-    cap = max(len(m_var), 1)
+    cap = max(id_cap, 1)
     out_combo = np.empty(cap, np.int32)
     out_row = np.empty(cap, np.int32)
     out_pos = np.empty(cap, np.int32)
+    codes = np.ascontiguousarray(codes, np.uint8)
     n = lib.gio_cascade(
         nc,
         np.ascontiguousarray(c_mlo, np.int64),
@@ -290,9 +301,23 @@ def cascade(
         np.ascontiguousarray(npos_dense, np.int32),
         np.ascontiguousarray(node_len, np.int32),
         n_shuffles,
+        np.ascontiguousarray(c_read, np.int64),
+        codes, codes.shape[1],
+        np.ascontiguousarray(lengths, np.int64),
+        phf_all, phr_all,
+        np.ascontiguousarray(rinv, np.uint64),
+        np.ascontiguousarray(ph, np.uint64),
+        np.ascontiguousarray(ph_start, np.int64),
+        np.ascontiguousarray(path_len, np.int32),
+        np.ascontiguousarray(tfree, np.uint8),
+        np.ascontiguousarray(nrow, np.uint8),
+        np.ascontiguousarray(flat_codes, np.uint8),
+        np.ascontiguousarray(flat_start, np.int64),
         combo_win, combo_ori, combo_stage,
         out_combo, out_row, out_pos, cap,
     )
+    if n > cap:
+        return None  # id overflow: numpy fallback
     return (
         combo_win, combo_ori, combo_stage,
         out_combo[:n].astype(np.int64),
@@ -351,7 +376,10 @@ def _prefix16(sorted_hashes: np.ndarray) -> np.ndarray:
 
 def find_matches(aligner, codes, lengths, c_read, c_g):
     """Native hash-join candidate search (gio_find_matches); returns
-    (m_b, m_var, m_row, m_pos, m_key) sorted by (read, graph), or None."""
+    (m_b, m_var, m_row, m_pos, m_key, phf, phr) with matches sorted by
+    (read, graph), or None. Only FULL-variant matches are emitted; the
+    cascade probes clip variants lazily using the returned per-read prefix
+    hashes (phf/phr, [B, L+2] uint64)."""
     lib = _load()
     if lib is None or not hasattr(lib, "gio_find_matches"):
         return None
@@ -361,6 +389,8 @@ def find_matches(aligner, codes, lengths, c_read, c_g):
         a._mini_pref = _prefix16(a.mini_hash)
     codes = np.ascontiguousarray(codes, np.uint8)
     B, L = codes.shape
+    phf = np.zeros((B, L + 2), np.uint64)
+    phr = np.zeros((B, L + 2), np.uint64)
     cap = max(len(c_read) * 64, 1 << 20)
     for _attempt in range(4):
         m_b = np.empty(cap, np.int64)
@@ -374,6 +404,7 @@ def find_matches(aligner, codes, lengths, c_read, c_g):
             len(c_read),
             np.ascontiguousarray(c_read, np.int64),
             np.ascontiguousarray(c_g, np.int64),
+            phf, phr,
             a.rpow, a.rinv, a.ph,
             np.ascontiguousarray(a.ph_start, np.int64),
             np.ascontiguousarray(a.path_len, np.int32),
@@ -401,7 +432,10 @@ def find_matches(aligner, codes, lengths, c_read, c_g):
         if n == -2:
             return None  # pathological per-read match count: numpy path
         if n >= 0:
-            return m_b[:n], m_var[:n], m_row[:n], m_pos[:n], m_key[:n]
+            return (
+                m_b[:n], m_var[:n], m_row[:n], m_pos[:n], m_key[:n],
+                phf, phr,
+            )
         cap *= 4
     return None
 

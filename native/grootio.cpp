@@ -402,6 +402,66 @@ long gio_bgzf_many(
 // match semantics are precomputed on the host (hash join): a match
 // (var, row, pos) states that read-variant `var` matches path row `row` at
 // `pos` (wildcards and dead-end overhangs already resolved).
+// O(1) clip-variant probe for the cascade's lazy stages 3/4: does read
+// b's variant v (1=f-cs 2=f-ce 4=rc-cs 5=rc-ce) exactly match path `row` at
+// position q? Interior matches compare substring hashes; dead-end overhangs
+// (alignment.go:229) compare the read-prefix hash at terminal-free rows;
+// wildcard (N) rows fall back to a byte check with on-the-fly RC.
+static inline bool gio_clip_probe(
+    long b, int v, long row, long q, long Lr,
+    const uint8_t* codes, long stride,
+    const uint64_t* PHf, const uint64_t* PHr, uint64_t rinv1,
+    const uint64_t* rinv, const uint64_t* ph, const long* ph_start,
+    const int32_t* path_len, const uint8_t* tfree, const uint8_t* nrow,
+    const uint8_t* flat_codes, const long* flat_start) {
+    const long plen = path_len[row];
+    if (q >= plen) return false;
+    const long lb = Lr - 1;
+    const uint64_t* php = ph + ph_start[row];
+    bool ok;
+    uint64_t vfull;
+    switch (v) {
+        case 1: vfull = (PHf[Lr] - PHf[1]) * rinv1; break;
+        case 2: vfull = PHf[Lr - 1]; break;
+        case 4: vfull = (PHr[Lr] - PHr[1]) * rinv1; break;
+        default: vfull = PHr[Lr - 1]; break;  // 5
+    }
+    if (q + lb <= plen) {
+        ok = (php[q + lb] - php[q]) * rinv[q] == vfull;
+    } else if (tfree[row]) {
+        const long qlen = plen - q;
+        uint64_t vpref;
+        switch (v) {
+            case 1: vpref = (PHf[qlen + 1] - PHf[1]) * rinv1; break;
+            case 2: vpref = PHf[qlen]; break;
+            case 4: vpref = (PHr[qlen + 1] - PHr[1]) * rinv1; break;
+            default: vpref = PHr[qlen]; break;
+        }
+        ok = (php[plen] - php[q]) * rinv[q] == vpref;
+    } else {
+        ok = false;
+    }
+    if (!ok && nrow[row]) {
+        // wildcard row: byte verify, deriving RC bases on the fly
+        static const uint8_t RC5[5] = {3, 2, 1, 0, 4};
+        const uint8_t* cs = codes + b * stride;
+        const long coff = (v % 3 == 1) ? 1 : 0;
+        long in_path = plen - q;
+        if (in_path > lb) in_path = lb;
+        const uint8_t* path = flat_codes + flat_start[row] + q;
+        ok = true;
+        for (long i = 0; i < in_path; i++) {
+            const uint8_t pb = path[i];
+            const uint8_t sb = (v >= 3)
+                ? RC5[cs[Lr - 1 - (coff + i)]]
+                : cs[coff + i];
+            if (pb != sb && pb != 4) { ok = false; break; }
+        }
+        if (ok && in_path < lb && !tfree[row]) ok = false;
+    }
+    return ok;
+}
+
 static long gio_cascade_range(
     // combos
     long ci0, long ci1, const long* c_mlo, const long* c_mcnt,
@@ -417,6 +477,13 @@ static long gio_cascade_range(
     const long* node_base, const int32_t* node_g, const long* g_first_row,
     const int32_t* npos_dense, const int32_t* node_len,
     int n_shuffles,
+    // lazy stage-3/4 clip probes (see gio_clip_probe)
+    const long* c_read, const uint8_t* codes, long stride,
+    const long* lengths,
+    const uint64_t* phf_all, const uint64_t* phr_all,
+    const uint64_t* rinv, const uint64_t* ph, const long* ph_start,
+    const int32_t* path_len, const uint8_t* tfree, const uint8_t* nrow,
+    const uint8_t* flat_codes, const long* flat_start,
     // outputs
     int32_t* combo_win,      // [nc] global pair id or -1
     int8_t* combo_ori,       // [nc]
@@ -485,15 +552,29 @@ static long gio_cascade_range(
                         stage = 2;
                         win_key = best_key;
                     } else if (seed_ok) {
-                        // stages 3/4: clipped probes at the seed offset
+                        // stages 3/4: lazy clip probes at the seed offset
+                        // (clip-variant matches are not in the match list;
+                        // they are hash-checked here only when stages 1-2
+                        // failed — the reference evaluates the cascade
+                        // stages in exactly this order, alignment.go:73-103)
+                        const long g2 = node_g[sg];
+                        const long r0 = g_first_row[g2];
+                        const long r1 = g_first_row[g2 + 1];
+                        const long b2 = c_read[ci];
+                        const long Lr2 = lengths[b2];
+                        const uint64_t* PHf2 = phf_all + b2 * (stride + 2);
+                        const uint64_t* PHr2 = phr_all + b2 * (stride + 2);
                         for (int kind = 1; kind <= 2 && !stage; kind++) {
-                            const int8_t v = (int8_t)(ori * 3 + kind);
-                            for (long m = mlo; m < mlo + mcnt; m++) {
-                                if (m_var[m] != v) continue;
+                            const int v = ori * 3 + kind;
+                            for (long row = r0; row < r1; row++) {
                                 const int32_t spos =
-                                    npos_dense[sg_base + m_row[m]];
+                                    npos_dense[sg_base + row];
                                 if (spos < 0) continue;
-                                if ((long)m_pos[m] == spos + soff) {
+                                if (gio_clip_probe(
+                                        b2, v, row, (long)spos + soff, Lr2,
+                                        codes, stride, PHf2, PHr2, rinv[1],
+                                        rinv, ph, ph_start, path_len, tfree,
+                                        nrow, flat_codes, flat_start)) {
                                     stage = kind + 2;
                                     break;
                                 }
@@ -506,17 +587,40 @@ static long gio_cascade_range(
                 combo_win[ci] = (int32_t)p;
                 combo_ori[ci] = (int8_t)ori;
                 combo_stage[ci] = (int8_t)stage;
-                const int8_t v_want =
-                    (int8_t)(ori * 3 + (stage >= 3 ? stage - 2 : 0));
-                for (long m = mlo; m < mlo + mcnt; m++) {
+                if (stage >= 3) {
+                    // clip ids: probe every path row at its seed position
+                    const int v = ori * 3 + (stage - 2);
+                    const long g2 = node_g[sg];
+                    const long r0 = g_first_row[g2];
+                    const long r1 = g_first_row[g2 + 1];
+                    const long b2 = c_read[ci];
+                    const long Lr2 = lengths[b2];
+                    const uint64_t* PHf2 = phf_all + b2 * (stride + 2);
+                    const uint64_t* PHr2 = phr_all + b2 * (stride + 2);
+                    for (long row = r0; row < r1; row++) {
+                        const int32_t spos = npos_dense[sg_base + row];
+                        if (spos < 0) continue;
+                        if (gio_clip_probe(
+                                b2, v, row, (long)spos + soff, Lr2, codes,
+                                stride, PHf2, PHr2, rinv[1], rinv, ph,
+                                ph_start, path_len, tfree, nrow, flat_codes,
+                                flat_start)
+                            && n_out < out_cap) {
+                            out_combo[n_out] = (int32_t)ci;
+                            out_row[n_out] = (int32_t)row;
+                            out_pos[n_out] = (int32_t)(spos + soff);
+                            n_out++;
+                        }
+                    }
+                } else {
+                  const int8_t v_want = (int8_t)(ori * 3);
+                  for (long m = mlo; m < mlo + mcnt; m++) {
                     if (m_var[m] != v_want) continue;
                     bool hit = false;
-                    if (stage == 1 || stage >= 3) {
+                    if (stage == 1) {
                         const int32_t spos = npos_dense[sg_base + m_row[m]];
                         if (spos >= 0) {
-                            const long want =
-                                stage == 1 ? spos + soff + win_key
-                                           : spos + soff;
+                            const long want = spos + soff + win_key;
                             hit = (long)m_pos[m] == want;
                         }
                     } else {  // stage 2
@@ -534,6 +638,7 @@ static long gio_cascade_range(
                         out_pos[n_out] = m_pos[m];
                         n_out++;
                     }
+                  }
                 }
                 done = true;
             }
@@ -555,6 +660,12 @@ extern "C" long gio_cascade(
     const long* node_base, const int32_t* node_g, const long* g_first_row,
     const int32_t* npos_dense, const int32_t* node_len,
     int n_shuffles,
+    const long* c_read, const uint8_t* codes, long stride,
+    const long* lengths,
+    const uint64_t* phf_all, const uint64_t* phr_all,
+    const uint64_t* rinv, const uint64_t* ph, const long* ph_start,
+    const int32_t* path_len, const uint8_t* tfree, const uint8_t* nrow,
+    const uint8_t* flat_codes, const long* flat_start,
     int32_t* combo_win, int8_t* combo_ori, int8_t* combo_stage,
     int32_t* out_combo, int32_t* out_row, int32_t* out_pos, long out_cap) {
     if (nc < 256)
@@ -562,7 +673,11 @@ extern "C" long gio_cascade(
             0, nc, c_mlo, c_mcnt, c_pair_start, c_pair_cnt, c_fb, m_var,
             m_row, m_pos, p_seed_grow, p_off, p_span, p_cn_ptr, p_cn_cnt,
             cn_grow, node_base, node_g, g_first_row, npos_dense, node_len,
-            n_shuffles, combo_win, combo_ori, combo_stage, out_combo,
+            n_shuffles,
+            c_read, codes, stride, lengths, phf_all, phr_all,
+            rinv, ph, ph_start, path_len, tfree, nrow, flat_codes,
+            flat_start,
+            combo_win, combo_ori, combo_stage, out_combo,
             out_row, out_pos, out_cap);
     const long mid = nc / 2;
     int32_t* t_combo = new int32_t[out_cap];
@@ -574,14 +689,22 @@ extern "C" long gio_cascade(
             mid, nc, c_mlo, c_mcnt, c_pair_start, c_pair_cnt, c_fb, m_var,
             m_row, m_pos, p_seed_grow, p_off, p_span, p_cn_ptr, p_cn_cnt,
             cn_grow, node_base, node_g, g_first_row, npos_dense, node_len,
-            n_shuffles, combo_win, combo_ori, combo_stage, t_combo, t_row,
+            n_shuffles,
+            c_read, codes, stride, lengths, phf_all, phr_all,
+            rinv, ph, ph_start, path_len, tfree, nrow, flat_codes,
+            flat_start,
+            combo_win, combo_ori, combo_stage, t_combo, t_row,
             t_pos, out_cap);
     });
     long n1 = gio_cascade_range(
         0, mid, c_mlo, c_mcnt, c_pair_start, c_pair_cnt, c_fb, m_var,
         m_row, m_pos, p_seed_grow, p_off, p_span, p_cn_ptr, p_cn_cnt,
         cn_grow, node_base, node_g, g_first_row, npos_dense, node_len,
-        n_shuffles, combo_win, combo_ori, combo_stage, out_combo, out_row,
+        n_shuffles,
+        c_read, codes, stride, lengths, phf_all, phr_all,
+        rinv, ph, ph_start, path_len, tfree, nrow, flat_codes,
+        flat_start,
+        combo_win, combo_ori, combo_stage, out_combo, out_row,
         out_pos, out_cap);
     th.join();
     long ret;
@@ -770,6 +893,9 @@ static long gio_fm_range(
     long k,
     // combos sorted by (read, graph); only non-fallback combos passed
     long ci0, long ci1, const long* c_read, const long* c_g,
+    // per-read prefix-hash outputs [B, stride+2], consumed by the
+    // cascade's lazy stage-3/4 clip probes (only combo reads are filled)
+    uint64_t* phf_all, uint64_t* phr_all,
     // hash tables / path data
     const uint64_t* rpow, const uint64_t* rinv,
     const uint64_t* ph, const long* ph_start,
@@ -794,9 +920,7 @@ static long gio_fm_range(
     long* m_b, int8_t* m_var, int32_t* m_row, int32_t* m_pos,
     int64_t* m_key, long out_cap) {
     long n_out = 0;
-    // scratch: per-read prefix hashes + rc codes
-    uint64_t* PHf = new uint64_t[stride + 2];
-    uint64_t* PHr = new uint64_t[stride + 2];
+    const long strideP = stride + 2;
     uint8_t* rc = new uint8_t[stride];
     const int rc_of[5] = {3, 2, 1, 0, 4};
     long scratch_cap = 65536;
@@ -816,6 +940,8 @@ static long gio_fm_range(
         while (ce < ci1 && c_read[ce] == b) ce++;
         const long Lr = lengths[b];
         const uint8_t* cs = codes + b * stride;
+        uint64_t* PHf = phf_all + b * strideP;
+        uint64_t* PHr = phr_all + b * strideP;
         for (long i = 0; i < Lr; i++) rc[i] = rc_of[cs[Lr - 1 - i]];
         PHf[0] = 0; PHr[0] = 0;
         for (long i = 0; i < Lr; i++) {
@@ -834,8 +960,9 @@ static long gio_fm_range(
         };
         static const int GROUP_VARS[4][2] = {{0, 2}, {1, -1}, {3, 5}, {4, -1}};
         long n_sc = 0;
-        // ---- anchor joins -------------------------------------------
-        for (int grp = 0; grp < 4; grp++) {
+        // ---- anchor joins (full variants 0/3 only; clip variants are
+        // pair-probed below) ------------------------------------------
+        for (int grp = 0; grp < 4; grp += 2) {
             const uint64_t q = anch[grp];
             // lower_bound within the key's 16-bit-prefix bucket
             long lo = anchor_pref[q >> 48], hi = anchor_pref[(q >> 48) + 1];
@@ -851,9 +978,8 @@ static long gio_fm_range(
                 const uint64_t h_over =
                     (php[plen] - php[pos]) * rinv[pos];
                 const long qlen = plen - pos;  // >= k
-                for (int gv = 0; gv < 2; gv++) {
+                for (int gv = 0; gv < 1; gv++) {
                     const int v = GROUP_VARS[grp][gv];
-                    if (v < 0) break;
                     const long lb = Lr - (v == 0 || v == 3 ? 0 : 1);
                     bool ok;
                     if (pos + lb <= plen) {
@@ -896,12 +1022,12 @@ static long gio_fm_range(
                 mq[2 * k + q] = PHr[q] ^ len_mix[q];
                 mq[3 * k + q] = ((PHr[q + 1] - PHr[1]) * rinv1) ^ len_mix[q];
             }
-        // ---- per-combo mini joins + q0 probes ------------------------
+        // ---- per-combo mini joins + q0 + clip pair probes ------------
         for (long c = ci; c < ce; c++) {
             const long g = c_g[c];
             const uint64_t gmix = g_mix[g];
             if (n_mini)
-                for (int grp = 0; grp < 4; grp++)
+                for (int grp = 0; grp < 4; grp += 2)
                     for (long q = 1; q < k; q++) {
                         const uint64_t key = mq[grp * k + q] ^ gmix;
                         long lo = mini_pref[key >> 48];
@@ -915,9 +1041,8 @@ static long gio_fm_range(
                              ai < n_mini && mini_hash[ai] == key; ai++) {
                             const long row = mini_row[ai];
                             const long pos = mini_pos[ai];
-                            for (int gv = 0; gv < 2; gv++) {
+                            for (int gv = 0; gv < 1; gv++) {
                                 const int v = GROUP_VARS[grp][gv];
-                                if (v < 0) break;
                                 bool ok;
                                 if (mini_typ[ai] == 0) {
                                     ok = true;  // OVER: content fully hashed
@@ -951,7 +1076,7 @@ static long gio_fm_range(
                 for (long ai = lo; ai < n_npos && npos_gi[ai] == g; ai++) {
                     const long row = npos_row[ai];
                     const long pos = npos_pos[ai];
-                    for (int v = 0; v < 6; v++) {
+                    for (int v = 0; v < 6; v += 3) {
                         const long lb = Lr - (v == 0 || v == 3 ? 0 : 1);
                         const uint8_t* var =
                             (v >= 3 ? rc : cs) + (v % 3 == 1 ? 1 : 0);
@@ -1001,8 +1126,6 @@ static long gio_fm_range(
         }
         ci = ce;
     }
-    delete[] PHf;
-    delete[] PHr;
     delete[] rc;
     delete[] sc_var;
     delete[] sc_row;
@@ -1021,6 +1144,7 @@ extern "C" long gio_find_matches(
     const uint8_t* codes, long B, long stride, const long* lengths,
     long k,
     long nc, const long* c_read, const long* c_g,
+    uint64_t* phf_all, uint64_t* phr_all,
     const uint64_t* rpow, const uint64_t* rinv,
     const uint64_t* ph, const long* ph_start,
     const int32_t* path_len, const long* flat_start,
@@ -1043,8 +1167,9 @@ extern "C" long gio_find_matches(
     while (mid > 0 && mid < nc && c_read[mid] == c_read[mid - 1]) mid++;
     if (nc < 512 || mid <= 0 || mid >= nc)
         return gio_fm_range(
-            codes, stride, lengths, k, 0, nc, c_read, c_g, rpow, rinv, ph,
-            ph_start, path_len, flat_start, flat_codes, tfree, nrow,
+            codes, stride, lengths, k, 0, nc, c_read, c_g,
+            phf_all, phr_all,
+            rpow, rinv, ph, ph_start, path_len, flat_start, flat_codes, tfree, nrow,
             path_graph, n_anchor, anchor_hash, anchor_row, anchor_pos,
             n_mini, mini_hash, mini_row, mini_pos, mini_typ, anchor_pref,
             mini_pref, len_mix, g_mix, n_npos, npos_gi, npos_row, npos_pos,
@@ -1057,15 +1182,18 @@ extern "C" long gio_find_matches(
     long n2 = 0;
     std::thread th([&]() {
         n2 = gio_fm_range(
-            codes, stride, lengths, k, mid, nc, c_read, c_g, rpow, rinv, ph,
-            ph_start, path_len, flat_start, flat_codes, tfree, nrow,
+            codes, stride, lengths, k, mid, nc, c_read, c_g,
+            phf_all, phr_all,
+            rpow, rinv, ph, ph_start, path_len, flat_start, flat_codes, tfree, nrow,
             path_graph, n_anchor, anchor_hash, anchor_row, anchor_pos,
             n_mini, mini_hash, mini_row, mini_pos, mini_typ, anchor_pref,
             mini_pref, len_mix, g_mix, n_npos, npos_gi, npos_row, npos_pos,
             G, t_b, t_var, t_row, t_pos, t_key, out_cap);
     });
     long n1 = gio_fm_range(
-        codes, stride, lengths, k, 0, mid, c_read, c_g, rpow, rinv, ph,
+        codes, stride, lengths, k, 0, mid, c_read, c_g,
+        phf_all, phr_all,
+        rpow, rinv, ph,
         ph_start, path_len, flat_start, flat_codes, tfree, nrow, path_graph,
         n_anchor, anchor_hash, anchor_row, anchor_pos, n_mini, mini_hash,
         mini_row, mini_pos, mini_typ, anchor_pref, mini_pref, len_mix,
