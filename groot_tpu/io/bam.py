@@ -156,6 +156,8 @@ class BgzfWriter:
             if data is None:
                 return
             try:
+                if isinstance(data, list):
+                    data = b"".join(data)
                 self.fh.write(self._compress(data))
             except BaseException as e:  # surfaced on the next write/close
                 self._err = e
@@ -195,16 +197,28 @@ class BgzfWriter:
         if self._size < 0xFF00:
             return
         # hand ALL complete blocks to the worker as ONE queue item; the
-        # worker compresses the whole run in one native call (block
-        # boundaries stay deterministic: every 0xFF00 bytes)
-        blob = self._parts[0] if len(self._parts) == 1 else b"".join(
-            self._parts
-        )
+        # worker joins and compresses the whole run in one native call
+        # (block boundaries stay deterministic: every 0xFF00 bytes)
         split = (self._size // 0xFF00) * 0xFF00
-        self._put(blob[:split])
-        tail = blob[split:]
-        self._parts = [tail] if tail else []
-        self._size = len(tail)
+        if split == self._size:
+            self._put(self._parts if len(self._parts) > 1 else self._parts[0])
+            self._parts, self._size = [], 0
+            return
+        # split the last part so the tail stays on this side
+        run, acc = [], 0
+        for i, part in enumerate(self._parts):
+            if acc + len(part) <= split:
+                run.append(part)
+                acc += len(part)
+            else:
+                cut = split - acc
+                if cut:
+                    run.append(part[:cut])
+                tail_parts = [part[cut:]] + self._parts[i + 1 :]
+                break
+        self._put(run if len(run) > 1 else run[0])
+        self._parts = [p for p in tail_parts if p]
+        self._size -= split
 
     def close(self):
         if self._err is not None:
