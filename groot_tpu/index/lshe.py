@@ -34,12 +34,13 @@ from dataclasses import dataclass, field
 from functools import partial
 from typing import Dict, List, Optional, Tuple
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..ops import u64
 from .window import Key
+
+# jax is imported lazily: the host index/query paths never need a device,
+# and importing jax through the TPU tunnel costs ~10s of client init
 
 MAX_PER_BAND = 24  # max candidates gathered per (read, band) before dedup
 
@@ -60,8 +61,10 @@ def _mix_bands_np(sketch_u64: np.ndarray, K: int) -> np.ndarray:
     return h
 
 
-def _mix_bands_jax(hi, lo, K: int) -> jnp.ndarray:
+def _mix_bands_jax(hi, lo, K: int):
     """(hi, lo) [B, s] uint32 -> [B, L] uint32 band signatures (device)."""
+    import jax.numpy as jnp
+
     B, s = hi.shape
     L = s // K
     uhi = hi[:, : L * K].reshape(B, L, K)
@@ -163,18 +166,32 @@ class ContainmentIndex:
                 "idx": order.T.astype(np.int32).copy(),  # [L, N]
             }
         self._tables = tables
-        shi, slo = u64.from_np(self.sketches)
-        self._dev = {
-            "hi": shi,
-            "lo": slo,
-            "graph_ids": jnp.asarray(
-                np.array([k.graph_id for k in self.keys], dtype=np.int32)
-            ),
-        }
+        self._dev = None  # device copies built lazily (dev property)
 
     @property
     def num_sketches(self) -> int:
         return len(self.keys)
+
+    @property
+    def dev(self) -> dict:
+        """Device-resident sketch copies for the jitted query kernel,
+        materialised on first use (host-only runs never pay the transfer
+        or the jax client init)."""
+        if getattr(self, "_dev", None) is None:
+            import jax.numpy as jnp
+
+            shi, slo = u64.from_np(np.ascontiguousarray(self.sketches))
+            gids = (
+                self.soa["w_graph"]
+                if hasattr(self, "soa")
+                else np.array([k.graph_id for k in self.keys])
+            )
+            self._dev = {
+                "hi": shi,
+                "lo": slo,
+                "graph_ids": jnp.asarray(gids.astype(np.int32)),
+            }
+        return self._dev
 
     # ------------------------------------------------------------------
     # query
@@ -353,16 +370,24 @@ class ContainmentIndex:
     def _query_batch_np_dev(
         self, sketch_hi, sketch_lo, query_sizes, threshold
     ) -> Tuple[np.ndarray, np.ndarray]:
+        import jax
+        import jax.numpy as jnp
+
         B = int(sketch_hi.shape[0])
         K = self.optimal_k(int(np.min(query_sizes)) if B else 1, threshold)
         t = self._tables[K]
-        win_idx = _query_device(
+        if not hasattr(self, "_query_jit"):
+            self._query_jit = jax.jit(
+                _query_device,
+                static_argnames=("K", "domain_size", "threshold"),
+            )
+        win_idx = self._query_jit(
             sketch_hi,
             sketch_lo,
             jnp.asarray(t["sorted_sigs"]),
             jnp.asarray(t["idx"]),
-            self._dev["hi"],
-            self._dev["lo"],
+            self.dev["hi"],
+            self.dev["lo"],
             jnp.asarray(np.asarray(query_sizes, dtype=np.int32)),
             K,
             self.num_window_kmers,
@@ -450,14 +475,7 @@ class ContainmentIndex:
                 raise ValueError("loaded an empty index file")
             self.keys = _KeysView(self.soa)
             self._tables = payload["tables"]
-            shi, slo = u64.from_np(self.sketches)
-            self._dev = {
-                "hi": shi,
-                "lo": slo,
-                "graph_ids": jnp.asarray(
-                    self.soa["w_graph"].astype(np.int32)
-                ),
-            }
+            self._dev = None
             return self
         # legacy v1 payload (pickled Key dicts)
         self.window_keys = payload["window_keys"]
@@ -480,7 +498,6 @@ class ContainmentIndex:
         return self
 
 
-@partial(jax.jit, static_argnames=("K", "domain_size", "threshold"))
 def _query_device(
     q_hi,
     q_lo,
@@ -496,6 +513,9 @@ def _query_device(
     """Banded LSH lookup + exact containment post-filter, fixed shapes.
 
     Returns (window_idx [B, C] with -1 for empty, containment [B, C])."""
+    import jax
+    import jax.numpy as jnp
+
     B, s = q_hi.shape
     Lbands, N = sorted_sigs.shape
     M = MAX_PER_BAND

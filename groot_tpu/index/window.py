@@ -283,26 +283,42 @@ def _merge_windows(
         # reference tail-run behavior: the final run is only emitted when it
         # is the path's only run (graph.go:335-338)
         n_runs = len(run_starts)
-        emit = range(n_runs - 1) if n_runs > 1 else range(n_runs)
+        m = n_runs - 1 if n_runs > 1 else n_runs
 
-        for ri in emit:
-            a, b = int(run_starts[ri]), int(run_ends[ri])
-            # per-base tallies over all windows of the run
-            span = np.arange(a, b + window_size)  # bases touched
-            wts = (
-                np.minimum(span, b) - np.maximum(span - window_size + 1, a) + 1
-            ).astype(np.float64)
-            node_ids, inv = np.unique(segs[a : b + window_size], return_inverse=True)
-            counts = np.bincount(inv, weights=wts)
-            contained = {int(n): float(c) for n, c in zip(node_ids, counts)}
+        # per-base tallies of ALL runs of the path in one pass (the per-run
+        # arange/unique/bincount loop was the index-build hot spot)
+        a = run_starts[:m].astype(np.int64)
+        b = run_ends[:m].astype(np.int64)
+        sl = b - a + window_size
+        starts = np.concatenate(([0], np.cumsum(sl[:-1])))
+        rep = np.repeat(np.arange(m), sl)
+        pos = np.arange(int(sl.sum()), dtype=np.int64) - starts[rep] + a[rep]
+        wts = (
+            np.minimum(pos, b[rep])
+            - np.maximum(pos - window_size + 1, a[rep]) + 1
+        ).astype(np.float64)
+        nodes = segs[pos].astype(np.int64)
+        pair = (rep.astype(np.int64) << np.int64(32)) | nodes
+        uk, inv = np.unique(pair, return_inverse=True)
+        csum = np.bincount(inv, weights=wts)
+        urun = (uk >> np.int64(32)).astype(np.int64)
+        unode = (uk & np.int64(0xFFFFFFFF)).tolist()
+        ccnt = csum.tolist()
+        bounds = np.searchsorted(urun, np.arange(m + 1))
+
+        for ri in range(m):
+            lo, hi = int(bounds[ri]), int(bounds[ri + 1])
+            contained = {
+                int(unode[j]): float(ccnt[j]) for j in range(lo, hi)
+            }
             key = Key(
                 graph_id=graph.graph_id,
-                node=int(segs[a]),
-                offset=int(packed.offsets[pi][a]),
+                node=int(segs[a[ri]]),
+                offset=int(packed.offsets[pi][a[ri]]),
                 contained_nodes=contained,
                 ref=[path_id],
                 sketch=run_sketches[ri].copy(),
-                merge_span=b - a,
+                merge_span=int(b[ri] - a[ri]),
                 window_size=window_size,
             )
             _insert_window(window_lookup, key, graph)
