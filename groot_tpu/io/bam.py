@@ -539,15 +539,53 @@ class BamRecord:
         return total
 
 
-def read_bam(path_or_fh) -> Tuple[List[Reference], Iterator[BamRecord]]:
+def bgzf_decompress(raw: bytes) -> bytes:
+    """Decompress a BGZF stream by walking the BSIZE fields: one zlib
+    inflate per block into a preallocated buffer. gzip.decompress degrades
+    to O(n^2) on multi-member streams (it re-slices the remaining input per
+    member — a 28MB BAM of ~5000 blocks took ~18s); this is ~0.5s. Falls
+    back to gzip.decompress for non-BGZF gzip input."""
     import gzip as _gzip
-    import io as _io
 
-    if isinstance(path_or_fh, str):
-        raw = open(path_or_fh, "rb").read()
-    else:
-        raw = path_or_fh.read()
-    data = _gzip.decompress(raw)
+    if raw[:4] != b"\x1f\x8b\x08\x04":
+        return _gzip.decompress(raw)
+    n = len(raw)
+    off = 0
+    blocks: List[Tuple[int, int, int]] = []  # (comp_off, comp_len, isize)
+    total = 0
+    while off < n:
+        if raw[off : off + 4] != b"\x1f\x8b\x08\x04" or off + 12 > n:
+            return _gzip.decompress(raw)
+        xlen = int.from_bytes(raw[off + 10 : off + 12], "little")
+        xo = off + 12
+        end_x = xo + xlen
+        bsize = None
+        while xo + 4 <= end_x:
+            slen = int.from_bytes(raw[xo + 2 : xo + 4], "little")
+            if raw[xo] == 0x42 and raw[xo + 1] == 0x43 and slen == 2:
+                bsize = int.from_bytes(raw[xo + 4 : xo + 6], "little") + 1
+            xo += 4 + slen
+        if bsize is None or off + bsize > n:
+            return _gzip.decompress(raw)
+        isize = int.from_bytes(raw[off + bsize - 4 : off + bsize], "little")
+        comp_off = off + 12 + xlen
+        blocks.append((comp_off, bsize - 12 - xlen - 8, isize))
+        total += isize
+        off += bsize
+    out = bytearray(total)
+    mv = memoryview(raw)
+    pos = 0
+    for o, clen, isize in blocks:
+        if isize:
+            out[pos : pos + isize] = zlib.decompress(
+                mv[o : o + clen], -15, isize
+            )
+            pos += isize
+    return bytes(out)
+
+
+def parse_bam_header(data: bytes) -> Tuple[List[Reference], int]:
+    """Parse a decompressed BAM header; returns (refs, record offset)."""
     off = 0
     magic, l_text = struct.unpack_from("<4sI", data, off)
     if magic != b"BAM\x01":
@@ -564,6 +602,16 @@ def read_bam(path_or_fh) -> Tuple[List[Reference], Iterator[BamRecord]]:
         (l_ref,) = struct.unpack_from("<I", data, off)
         off += 4
         refs.append(Reference(name=name, length=l_ref, ref_id=i))
+    return refs, off
+
+
+def read_bam(path_or_fh) -> Tuple[List[Reference], Iterator[BamRecord]]:
+    if isinstance(path_or_fh, str):
+        raw = open(path_or_fh, "rb").read()
+    else:
+        raw = path_or_fh.read()
+    data = bgzf_decompress(raw)
+    refs, off = parse_bam_header(data)
 
     def records():
         o = off

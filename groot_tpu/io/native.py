@@ -59,6 +59,12 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.gio_bgzf_block.argtypes = [
             ctypes.c_char_p, _LONG, _U8P, _LONG,
         ]
+        _U16P = np.ctypeslib.ndpointer(dtype=np.uint16, flags="C_CONTIGUOUS")
+        _I32Pb = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
+        lib.gio_bam_scan.restype = _LONG
+        lib.gio_bam_scan.argtypes = [
+            _U8P, _LONG, _LONG, _I32Pb, _I32Pb, _U16P, _I32Pb, _LONG,
+        ]
         lib.gio_bgzf_many.restype = _LONG
         lib.gio_bgzf_many.argtypes = [
             ctypes.c_char_p, _LONG, _LONG, _U8P, _LONG,
@@ -586,6 +592,24 @@ def emit_records(
     if n < 0:
         return None
     return out[:n]
+
+
+def bam_scan(data: np.ndarray, start: int):
+    """Scan decompressed BAM records -> (ref_id, pos, flag, aln_len) arrays,
+    or None when the native library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "gio_bam_scan"):
+        return None
+    data = np.ascontiguousarray(data, np.uint8)
+    cap = max((len(data) - start) // 40 + 16, 16)
+    ref_id = np.empty(cap, np.int32)
+    pos = np.empty(cap, np.int32)
+    flag = np.empty(cap, np.uint16)
+    aln_len = np.empty(cap, np.int32)
+    n = lib.gio_bam_scan(data, len(data), start, ref_id, pos, flag, aln_len, cap)
+    if n < 0:
+        return None
+    return ref_id[:n], pos[:n], flag[:n], aln_len[:n]
 
 
 def bgzf_block(data: bytes) -> Optional[bytes]:

@@ -73,12 +73,20 @@ def report_from_bam(
     fh=None,
 ) -> List[Annotation]:
     """BAMreader.Run equivalent; returns annotations (and prints via caller)."""
+    if bam_path is None:
+        import sys
+
+        fh = fh or sys.stdin.buffer
+
+    # fast path: native record scan + one global range-update pileup
+    fast = _report_fast(bam_path, fh, coverage_cutoff, low_cov)
+    if fast is not None:
+        return fast
+
     if bam_path:
         refs, records = bamio.read_bam(bam_path)
     else:
-        import sys
-
-        refs, records = bamio.read_bam(fh or sys.stdin.buffer)
+        refs, records = bamio.read_bam(fh)
 
     per_ref: dict = {}
     for rec in records:
@@ -108,6 +116,60 @@ def report_from_bam(
             continue
         annotations.append(
             Annotation(arg=name, count=len(recs), length=ref.length, cigar=cigar)
+        )
+    annotations.sort(key=lambda a: a.arg)
+    return annotations
+
+
+def _report_fast(
+    bam_path, fh, coverage_cutoff: float, low_cov: bool
+) -> Optional[List[Annotation]]:
+    """Vectorized report: gio_bam_scan extracts (ref, pos, flag, aln_len)
+    per record in one C pass; the per-base pileup is a single global
+    range-update (+1/-1 diffs + cumsum over the concatenated reference
+    coordinate space). Byte-identical output to the record-loop path."""
+    from ..io import native
+
+    if not native.available():
+        return None
+    raw = open(bam_path, "rb").read() if bam_path else fh.read()
+    data = bamio.bgzf_decompress(raw)
+    refs, off = bamio.parse_bam_header(data)
+    res = native.bam_scan(np.frombuffer(data, np.uint8), off)
+    if res is None:
+        return None
+    ref_id, pos, flag, aln = res
+    keep = (flag != bamio.FLAG_UNMAPPED) & (ref_id >= 0)
+    ref_id = ref_id[keep].astype(np.int64)
+    pos = pos[keep].astype(np.int64)
+    aln = aln[keep].astype(np.int64)
+
+    lens = np.array([r.length for r in refs], dtype=np.int64)
+    counts = np.bincount(ref_id, minlength=len(refs))
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    end = np.minimum(pos + aln, lens[ref_id] - 1)
+    diff = np.zeros(int(offs[-1]) + 1, dtype=np.int64)
+    np.add.at(diff, offs[ref_id] + pos, 1)
+    np.add.at(diff, offs[ref_id] + end + 1, -1)  # inclusive-end quirk
+    pile = np.cumsum(diff[:-1])
+
+    annotations: List[Annotation] = []
+    for i, ref in enumerate(refs):
+        if counts[i] == 0:
+            continue
+        pileup = pile[offs[i] : offs[i + 1]]
+        covered = int((pileup > 0).sum())
+        if covered / ref.length < coverage_cutoff:
+            continue
+        name = ref.name[1:] if ref.name.startswith("*") else ref.name
+        symbols = ["M" if v else "D" for v in pileup]
+        cigar, internal_d = cigar_clean(symbols)
+        if internal_d and low_cov:
+            continue
+        annotations.append(
+            Annotation(
+                arg=name, count=int(counts[i]), length=ref.length, cigar=cigar
+            )
         )
     annotations.sort(key=lambda a: a.arg)
     return annotations

@@ -371,6 +371,47 @@ long gio_emit_records(
     return w;
 }
 
+// ---------------------------------------------------------------------------
+// gio_bam_scan: walk decompressed BAM records from `start`, extracting the
+// fields the report stage needs (reporting.go:72-123): ref_id, pos, flag,
+// and the alignment length on the reference (sum of M/D/N/=/X cigar ops,
+// biogo Record.Len). Returns the record count, or -1 if cap is too small.
+extern "C" long gio_bam_scan(
+    const uint8_t* data, long n, long start,
+    int32_t* ref_id, int32_t* pos, uint16_t* flag, int32_t* aln_len,
+    long cap) {
+    long o = start;
+    long count = 0;
+    while (o + 4 <= n) {
+        uint32_t block_size;
+        memcpy(&block_size, data + o, 4);
+        if (o + 4 + (long)block_size > n) break;
+        if (count >= cap) return -1;
+        const uint8_t* r = data + o + 4;
+        memcpy(&ref_id[count], r, 4);
+        memcpy(&pos[count], r + 4, 4);
+        const uint32_t l_name = r[8];
+        uint16_t n_cigar, fl;
+        memcpy(&n_cigar, r + 12, 2);
+        memcpy(&fl, r + 14, 2);
+        flag[count] = fl;
+        const uint8_t* cig = r + 32 + l_name;
+        long alen = 0;
+        for (uint16_t c = 0; c < n_cigar; c++) {
+            uint32_t v;
+            memcpy(&v, cig + 4 * c, 4);
+            const uint32_t op = v & 0xF;
+            // M=0 D=2 N=3 ==7 X=8 consume reference
+            if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8)
+                alen += v >> 4;
+        }
+        aln_len[count] = (int32_t)alen;
+        count++;
+        o += 4 + block_size;
+    }
+    return count;
+}
+
 // Compress a run of consecutive BGZF blocks (block size bs, last block may
 // be short) in one call — one GIL release for a whole batch instead of one
 // Python/ctypes/queue round-trip per 64KB block. Returns total bytes
