@@ -368,31 +368,9 @@ def run_align(
             batch_size, t_start,
         )
     else:
-      pending = None  # one-deep pipeline: cascade of batch i drains while
-      # batch i+1 sketches/queries/packs (device + host overlap)
-      for batch in batches:
-        raw_count += batch.n_valid
-        length_total += int(batch.lengths[: batch.n_valid].sum())
-        if batch.n < batch_size:
-            _pad_batch(batch, batch_size, k)
-        nxt = _process_batch(
-            info, batch, aligner, bam_writer, stats, k, s, t, tables, acc
-        )
-        if pending is not None:
-            p_batch, p_calls, p_rows, p_wins, p_kc = pending
-            aligner.collect_pairs(
-                p_calls, p_batch, p_rows, p_wins, p_kc, acc, bam_writer, stats
-            )
-        pending = nxt
-        log.info(
-            "\tprocessed %d reads (%.0f reads/s)",
-            raw_count,
-            raw_count / max(_time.time() - t_start, 1e-9),
-        )
-      if pending is not None:
-        p_batch, p_calls, p_rows, p_wins, p_kc = pending
-        aligner.collect_pairs(
-            p_calls, p_batch, p_rows, p_wins, p_kc, acc, bam_writer, stats
+        raw_count, length_total = _run_align_sequential(
+            info, batches, aligner, bam_writer, stats, k, s, t, tables,
+            acc, batch_size, t_start,
         )
 
     if acc is not None:
@@ -429,6 +407,45 @@ def run_align(
 
 
 _TIMING = os.environ.get("GROOT_TIMING", "")
+
+
+def _run_align_sequential(
+    info, batches, aligner, bam_writer, stats, k, s, t, tables, acc,
+    batch_size, t_start,
+) -> Tuple[int, int]:
+    """One-deep pipelined batch loop (non-pooled engines): the cascade of
+    batch i drains while batch i+1 sketches/queries/packs (device + host
+    overlap for the submit/collect aligners)."""
+    import time as _time
+
+    raw_count = 0
+    length_total = 0
+    pending = None
+    for batch in batches:
+        raw_count += batch.n_valid
+        length_total += int(batch.lengths[: batch.n_valid].sum())
+        if batch.n < batch_size:
+            _pad_batch(batch, batch_size, k)
+        nxt = _process_batch(
+            info, batch, aligner, bam_writer, stats, k, s, t, tables, acc
+        )
+        if pending is not None:
+            p_batch, p_calls, p_rows, p_wins, p_kc = pending
+            aligner.collect_pairs(
+                p_calls, p_batch, p_rows, p_wins, p_kc, acc, bam_writer, stats
+            )
+        pending = nxt
+        log.info(
+            "\tprocessed %d reads (%.0f reads/s)",
+            raw_count,
+            raw_count / max(_time.time() - t_start, 1e-9),
+        )
+    if pending is not None:
+        p_batch, p_calls, p_rows, p_wins, p_kc = pending
+        aligner.collect_pairs(
+            p_calls, p_batch, p_rows, p_wins, p_kc, acc, bam_writer, stats
+        )
+    return raw_count, length_total
 
 
 class _RecSink:
