@@ -129,13 +129,14 @@ def _bgzf_block(data: bytes) -> bytes:
 
 
 class BgzfWriter:
-    """BGZF writer with compression + file IO on a worker thread (zlib and
-    the native deflate release the GIL, so blocks compress while the main
-    thread packs the next batch — the reference's BAM goroutine analog,
-    boss.go:225-241). Block boundaries are deterministic (every 0xFF00
-    bytes), so output bytes are identical to the synchronous path."""
+    """BGZF writer: block runs compress on a small thread pool (zlib and the
+    native deflate release the GIL) and a writer thread streams the results
+    to the file IN SUBMISSION ORDER — the reference's BAM goroutine analog
+    (boss.go:225-241) with elastic parallel compression. Block boundaries
+    are deterministic (every 0xFF00 bytes), so output bytes are identical
+    to a synchronous writer."""
 
-    def __init__(self, fh):
+    def __init__(self, fh, workers: int = 2):
         self.fh = fh
         self._parts: List[bytes] = []
         self._size = 0
@@ -144,26 +145,28 @@ class BgzfWriter:
         self._native = native.bgzf_many if native.available() else None
         import queue
         import threading
+        from concurrent.futures import ThreadPoolExecutor
 
-        self._q: "queue.Queue" = queue.Queue(maxsize=8)
+        self._pool = ThreadPoolExecutor(max_workers=workers)
+        self._wq: "queue.Queue" = queue.Queue(maxsize=16)
         self._err = None
-        self._worker = threading.Thread(target=self._run, daemon=True)
-        self._worker.start()
+        self._writer = threading.Thread(target=self._write_loop, daemon=True)
+        self._writer.start()
 
-    def _run(self):
+    def _write_loop(self):
         while True:
-            data = self._q.get()  # a run of whole blocks (tail at close)
-            if data is None:
+            fut = self._wq.get()
+            if fut is None:
                 return
             try:
-                if isinstance(data, list):
-                    data = b"".join(data)
-                self.fh.write(self._compress(data))
+                self.fh.write(fut.result())
             except BaseException as e:  # surfaced on the next write/close
                 self._err = e
                 return
 
-    def _compress(self, data: bytes) -> bytes:
+    def _compress(self, data) -> bytes:
+        if isinstance(data, list):
+            data = b"".join(data)
         if self._native is not None:
             out = self._native(data)
             if out is not None:
@@ -174,17 +177,18 @@ class BgzfWriter:
         )
 
     def _put(self, item):
-        """Enqueue for the worker; re-checks _err while blocked so a dead
-        worker (e.g. ENOSPC) surfaces as an exception instead of a permanent
-        hang on the full 8-slot queue (a bulk write_groups call can enqueue
-        far more than 8 blocks per write())."""
+        """Submit a block run for compression and enqueue its future for
+        the ordered writer; re-checks _err while blocked so a dead writer
+        (e.g. ENOSPC) surfaces as an exception instead of a permanent
+        hang on the full queue."""
         import queue
 
+        fut = self._pool.submit(self._compress, item)
         while True:
             if self._err is not None:
                 raise self._err
             try:
-                self._q.put(item, timeout=0.2)
+                self._wq.put(fut, timeout=0.2)
                 return
             except queue.Full:
                 continue
@@ -196,9 +200,8 @@ class BgzfWriter:
         self._size += len(data)
         if self._size < 0xFF00:
             return
-        # hand ALL complete blocks to the worker as ONE queue item; the
-        # worker joins and compresses the whole run in one native call
-        # (block boundaries stay deterministic: every 0xFF00 bytes)
+        # hand ALL complete blocks off as ONE compression job (block
+        # boundaries stay deterministic: every 0xFF00 bytes)
         split = (self._size // 0xFF00) * 0xFF00
         if split == self._size:
             self._put(self._parts if len(self._parts) > 1 else self._parts[0])
@@ -223,11 +226,21 @@ class BgzfWriter:
     def close(self):
         if self._err is not None:
             raise self._err
+        import queue
+
         if self._size:
             self._put(b"".join(self._parts))
             self._parts, self._size = [], 0
-        self._put(None)
-        self._worker.join()
+        while True:  # same guarded enqueue as _put (writer may have died)
+            if self._err is not None:
+                break
+            try:
+                self._wq.put(None, timeout=0.2)
+                break
+            except queue.Full:
+                continue
+        self._writer.join()
+        self._pool.shutdown(wait=True)
         if self._err is not None:
             raise self._err
         self.fh.write(BGZF_EOF)

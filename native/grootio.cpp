@@ -123,7 +123,8 @@ long gio_bgzf_block(const uint8_t* data, long n, uint8_t* out, long out_cap) {
     if (n > 65280) return -1;
     z_stream zs;
     memset(&zs, 0, sizeof(zs));
-    if (deflateInit2(&zs, 1, Z_DEFLATED, -15, 8, Z_DEFAULT_STRATEGY) != Z_OK)
+    // level 2: measured faster than 1 on BAM bytes at the same ratio
+    if (deflateInit2(&zs, 2, Z_DEFLATED, -15, 8, Z_DEFAULT_STRATEGY) != Z_OK)
         return -1;
     // header: 18 bytes with BC extra subfield
     uint8_t* hdr = out;
