@@ -59,6 +59,50 @@ def ensure_index() -> str:
     return index_dir
 
 
+def ensure_mix(n_background: int = 990_000) -> str:
+    """Build (once) a typical-metagenome read mix: ~1% ARG reads (the 10k
+    bench set) shuffled into random 150bp background — the workload the
+    reference's '2GB in 2 minutes' claim describes (most reads are not
+    ARGs and never seed)."""
+    import gzip
+
+    import numpy as np
+
+    path = os.path.join(CACHE, "metagenome-mix-1m.fq")
+    if os.path.exists(path):
+        return path
+    rng = np.random.default_rng(7)
+    with gzip.open(READS, "rb") as fh:
+        arg_reads = fh.read().splitlines()
+    n_arg = len(arg_reads) // 4
+    total = n_arg + n_background
+    arg_at = set(
+        rng.choice(total, size=n_arg, replace=False).tolist()
+    )
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    qual = b"I" * 150
+    ai = 0
+    with open(path + ".tmp", "wb") as out:
+        chunk = []
+        for i in range(total):
+            if i in arg_at:
+                chunk.extend(arg_reads[ai * 4 : ai * 4 + 4])
+                ai += 1
+            else:
+                seq = bases[rng.integers(0, 4, size=150)].tobytes()
+                chunk.append(b"@bg_" + str(i).encode())
+                chunk.append(seq)
+                chunk.append(b"+")
+                chunk.append(qual)
+            if len(chunk) >= 40000:
+                out.write(b"\n".join(chunk) + b"\n")
+                chunk = []
+        if chunk:
+            out.write(b"\n".join(chunk) + b"\n")
+    os.replace(path + ".tmp", path)
+    return path
+
+
 def main() -> int:
     import logging
 
@@ -126,12 +170,36 @@ def main() -> int:
             writer.close()
             bam_fh.close()
         reads_per_s = max(reads_per_s, stats.received / elapsed)
-    prune_graphs(info, 1.0)
     print(
         f"# {stats.received} reads; best pass {reads_per_s:.0f} reads/s; "
         f"mapped={stats.mapped} alignments={stats.alignment_count}",
         file=sys.stderr,
     )
+
+    # secondary (informational): the baseline claim's actual workload — a
+    # typical metagenome where ~1% of reads are ARGs. Printed as a comment;
+    # the headline metric above stays the all-mapping (much heavier) run.
+    if not args.noAlign:
+        try:
+            mix = ensure_mix()
+            refs = bamio.build_references(info.store)
+            with open(os.path.join(CACHE, "mix.bam"), "wb") as fh2:
+                w2 = bamio.BamWriter(fh2, refs)
+                t0 = time.time()
+                st2 = run_align(
+                    info, [mix], bam_writer=w2, batch_size=args.batchSize
+                )
+                mix_elapsed = time.time() - t0
+                w2.close()
+            print(
+                f"# metagenome-mix: {st2.received} reads in "
+                f"{mix_elapsed:.1f}s = {st2.received / mix_elapsed:.0f} "
+                f"reads/s (mapped={st2.mapped}); reference claim ~64000",
+                file=sys.stderr,
+            )
+        except Exception as e:  # informational only
+            print(f"# metagenome-mix failed: {e!r}", file=sys.stderr)
+    prune_graphs(info, 1.0)
     print(
         json.dumps(
             {
