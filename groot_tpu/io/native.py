@@ -395,8 +395,9 @@ def find_matches(aligner, codes, lengths, c_read, c_g):
         a._mini_pref = _prefix16(a.mini_hash)
     codes = np.ascontiguousarray(codes, np.uint8)
     B, L = codes.shape
-    phf = np.zeros((B, L + 2), np.uint64)
-    phr = np.zeros((B, L + 2), np.uint64)
+    # rows are only written/read for combo reads; no need to zero 10MB
+    phf = np.empty((B, L + 2), np.uint64)
+    phr = np.empty((B, L + 2), np.uint64)
     cap = max(len(c_read) * 64, 1 << 20)
     for _attempt in range(4):
         m_b = np.empty(cap, np.int64)

@@ -857,8 +857,8 @@ static inline uint64_t rol64(uint64_t x, unsigned r) {
     return r ? (x << r) | (x >> (64 - r)) : x;
 }
 
-extern "C" void gio_sketch(
-    const uint8_t* codes, long B, long stride, const long* vlen,
+static void gio_sketch_range(
+    const uint8_t* codes, long b0, long b1, long stride, const long* vlen,
     long k, long s, uint64_t* out) {
     static uint64_t ROTF[5][64], ROTR[5][64];
     static bool init = false;
@@ -876,7 +876,7 @@ extern "C" void gio_sketch(
     // per-read scratch (VLA-free: allocate max stride once)
     uint64_t* X = new uint64_t[stride + 1];
     uint64_t* Y = new uint64_t[stride + 1];
-    for (long b = 0; b < B; b++) {
+    for (long b = b0; b < b1; b++) {
         uint64_t* o = out + b * s;
         const long nk = vlen[b] - k + 1;
         if (nk <= 0) {
@@ -906,6 +906,25 @@ extern "C" void gio_sketch(
     }
     delete[] X;
     delete[] Y;
+}
+
+// Threaded front end: reads are independent; halves sketch on two cores.
+extern "C" void gio_sketch(
+    const uint8_t* codes, long B, long stride, const long* vlen,
+    long k, long s, uint64_t* out) {
+    if (B < 64) {
+        gio_sketch_range(codes, 0, B, stride, vlen, k, s, out);
+        return;
+    }
+    // empty range forces the one-time ROTF/ROTR table init on THIS thread
+    // before both workers read it
+    gio_sketch_range(codes, 0, 0, stride, vlen, k, s, out);
+    const long mid = B / 2;
+    std::thread th([&]() {
+        gio_sketch_range(codes, mid, B, stride, vlen, k, s, out);
+    });
+    gio_sketch_range(codes, 0, mid, stride, vlen, k, s, out);
+    th.join();
 }
 
 // ---------------------------------------------------------------------------
