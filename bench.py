@@ -122,7 +122,7 @@ def main() -> int:
     )
     ap = argparse.ArgumentParser()
     ap.add_argument("--noAlign", action="store_true", help="seed+weight only")
-    ap.add_argument("--batchSize", type=int, default=4096)
+    ap.add_argument("--batchSize", type=int, default=8192)
     ap.add_argument(
         "--repeat", type=int, default=10,
         help="replicate the read file N times (amortizes fixed setup; the"
