@@ -1137,29 +1137,35 @@ class HashAligner:
         grp_combo = id_combo[starts]
         group_ptr = np.append(starts, len(id_combo)).astype(np.int64)
 
-        (idc, ido, idl, sqc, sqo, sql, quc, quo, qul) = batch.payloads()
         rows = c_read[grp_combo]
         G = len(rows)
         rev = combo_ori[grp_combo] == 1
         cs = combo_cs[grp_combo].astype(np.int64)
         ce = combo_ce[grp_combo].astype(np.int64)
-        Lr = sql[rows]
 
         if not os.environ.get("GROOT_NO_NATIVE_CASCADE") and hasattr(
             bam_writer, "write_raw"
         ):
             # whole-batch native assembly: oriented gather, nibble packing,
-            # headers and cigars in one C pass (gio_emit_records)
+            # headers and cigars in one C pass (gio_emit_records). Payloads
+            # are gathered only for the winning reads (the metagenome case
+            # maps ~1% of a batch; extracting all of it cost ~10%).
             from ..io import native
 
+            uniq = np.unique(rows)
+            (idc, ido, idl, sqc, sqo, sql, quc, quo, qul) = batch.payloads(
+                uniq
+            )
+            rloc = np.searchsorted(uniq, rows)
+            Lr = sql[rloc]
             olen = Lr - cs - ce
             ncig = 1 + (cs > 0) + (ce > 0)
-            per_rec = 36 + (idl[rows] + 1) + 4 * ncig + (olen + 1) // 2 + olen
+            per_rec = 36 + (idl[rloc] + 1) + 4 * ncig + (olen + 1) // 2 + olen
             cap = int((per_rec * np.diff(group_ptr)).sum())
             out = native.emit_records(
-                idc, ido[rows], idl[rows],
-                sqc, sqo[rows], Lr,
-                quc, quo[rows], qul[rows],
+                idc, ido[rloc], idl[rloc],
+                sqc, sqo[rloc], Lr,
+                quc, quo[rloc], qul[rloc],
                 rev, combo_cs[grp_combo], combo_ce[grp_combo],
                 group_ptr,
                 self.ref_id_by_prow[id_row], id_pos.astype(np.int64),
@@ -1168,6 +1174,9 @@ class HashAligner:
             if out is not None:
                 bam_writer.write_raw(out, len(id_combo))
                 return
+
+        (idc, ido, idl, sqc, sqo, sql, quc, quo, qul) = batch.payloads()
+        Lr = sql[rows]
         out_len = Lr - cs - ce
         out_off = np.concatenate(([0], np.cumsum(out_len[:-1])))
         total = int(out_len.sum())

@@ -395,9 +395,22 @@ def find_matches(aligner, codes, lengths, c_read, c_g):
         a._mini_pref = _prefix16(a.mini_hash)
     codes = np.ascontiguousarray(codes, np.uint8)
     B, L = codes.shape
-    # rows are only written/read for combo reads; no need to zero 10MB
-    phf = np.empty((B, L + 2), np.uint64)
-    phr = np.empty((B, L + 2), np.uint64)
+    # per-thread reusable prefix-hash buffers: rows are only written/read
+    # for combo reads, and the consumer (the cascade) finishes inside the
+    # same process_batch call on the same worker thread
+    import threading
+
+    tls = getattr(find_matches, "_tls", None)
+    if tls is None:
+        tls = find_matches._tls = threading.local()
+    buf = getattr(tls, "buf", None)
+    if buf is None or buf[0].shape != (B, L + 2):
+        buf = (
+            np.empty((B, L + 2), np.uint64),
+            np.empty((B, L + 2), np.uint64),
+        )
+        tls.buf = buf
+    phf, phr = buf
     cap = max(len(c_read) * 64, 1 << 20)
     for _attempt in range(4):
         m_b = np.empty(cap, np.int64)

@@ -55,19 +55,28 @@ class ReadBatch:
     def n(self) -> int:
         return self.codes.shape[0]
 
-    def payloads(self):
+    def payloads(self, rows=None):
         """Concatenated (id, seq, qual) byte arrays + per-read offsets for
         bulk record emission: (id_cat, id_off, id_len, seq_cat, seq_off,
         seq_len, qual_cat, qual_off, qual_len). id excludes the leading
-        '@'. Cached per batch."""
-        p = getattr(self, "_payloads", None)
-        if p is not None:
-            return p
+        '@'. With ``rows`` (sorted unique read indices) only those reads
+        are gathered and the offset arrays align with ``rows`` — the
+        winners of a batch can be a tiny fraction of it. The full variant
+        is cached per batch."""
+        if rows is None:
+            p = getattr(self, "_payloads", None)
+            if p is not None:
+                return p
         cats = {0: [], 1: [], 2: []}
         offs = {0: [], 1: [], 2: []}
         lens = {0: [], 1: [], 2: []}
         if self._reads is not None:
-            for r in self._reads:
+            sel = (
+                self._reads
+                if rows is None
+                else [self._reads[i] for i in rows.tolist()]
+            )
+            for r in sel:
                 for j, field in enumerate((r.id[1:], r.seq, r.qual)):
                     cats[j].append(np.frombuffer(field, np.uint8))
                     lens[j].append(len(field))
@@ -82,7 +91,20 @@ class ReadBatch:
             from ..io import native as _native
 
             use_native = _native.available()
+            base = 0
             for buf, (io_, il, so, sl, qo, ql) in self._segs:
+                n_seg = len(io_)
+                if rows is not None:
+                    lo = np.searchsorted(rows, base)
+                    hi = np.searchsorted(rows, base + n_seg)
+                    local = rows[lo:hi] - base
+                    if len(local) == 0:
+                        base += n_seg
+                        continue
+                    io_, il = io_[local], il[local]
+                    so, sl = so[local], sl[local]
+                    qo, ql = qo[local], ql[local]
+                base += n_seg
                 arr = None if use_native else np.frombuffer(buf, np.uint8)
                 for j, (o, l, skip) in enumerate(
                     ((io_, il, 1), (so, sl, 0), (qo, ql, 0))
@@ -113,7 +135,8 @@ class ReadBatch:
             cats[1], offs[1], lens[1],
             cats[2], offs[2], lens[2],
         )
-        self._payloads = p
+        if rows is None:
+            self._payloads = p
         return p
 
     def read(self, i: int) -> FastqRead:
