@@ -876,6 +876,7 @@ static void gio_sketch_range(
     // per-read scratch (VLA-free: allocate max stride once)
     uint64_t* X = new uint64_t[stride + 1];
     uint64_t* Y = new uint64_t[stride + 1];
+    uint64_t* C = new uint64_t[stride + 1];
     for (long b = b0; b < b1; b++) {
         uint64_t* o = out + b * s;
         const long nk = vlen[b] - k + 1;
@@ -890,22 +891,34 @@ static void gio_sketch_range(
             X[i + 1] = X[i] ^ ROTF[cs[i]][i & 63];
             Y[i + 1] = Y[i] ^ ROTR[cs[i]][i & 63];
         }
-        for (long j = 0; j < s; j++) o[j] = FULL;
+        // canonical k-mer hashes first, then one vectorizable min-reduce
+        // pass per sketch slot (the multiply/xorshift/min loop lowers to
+        // vpmullq/vpminuq lanes under -march=native)
         for (long i = 0; i < nk; i++) {
             const uint64_t fwd = rol64(X[i + k] ^ X[i], (unsigned)(i + k - 1));
             const uint64_t rev =
                 rol64(Y[i + k] ^ Y[i], (unsigned)(64 - (i & 63)));
-            const uint64_t c = fwd < rev ? fwd : rev;
-            if (c < o[0]) o[0] = c;
-            for (long m = 1; m < s; m++) {
-                uint64_t h = c * ((uint64_t)m ^ kseed);
+            C[i] = fwd < rev ? fwd : rev;
+        }
+        {
+            uint64_t mn = FULL;
+            for (long i = 0; i < nk; i++) mn = C[i] < mn ? C[i] : mn;
+            o[0] = mn;
+        }
+        for (long m = 1; m < s; m++) {
+            const uint64_t mult = (uint64_t)m ^ kseed;
+            uint64_t mn = FULL;
+            for (long i = 0; i < nk; i++) {
+                uint64_t h = C[i] * mult;
                 h ^= h >> 27;
-                if (h < o[m]) o[m] = h;
+                mn = h < mn ? h : mn;
             }
+            o[m] = mn;
         }
     }
     delete[] X;
     delete[] Y;
+    delete[] C;
 }
 
 // Threaded front end: reads are independent; halves sketch on two cores.
