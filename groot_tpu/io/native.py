@@ -44,7 +44,10 @@ def _load() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH) and not _build():
+    # always run make: a no-op when the committed .so is fresh (~20ms), a
+    # rebuild when grootio.cpp is newer (a stale binary would silently
+    # serve old code)
+    if not _build() and not os.path.exists(_LIB_PATH):
         return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
