@@ -198,59 +198,31 @@ def sketch_graphs(
                 out.append(_merge_windows(graph, packed, runs, window_size))
             return out
 
-    # flat row table: (graph_idx, path_idx, length); group by Lb bucket
-    by_lb: Dict[int, List[Tuple[int, int]]] = {}
-    for gi, packed in enumerate(packs):
-        L = packed.codes.shape[1]
-        Lb = -(-L // 1024) * 1024
-        by_lb.setdefault(Lb, []).extend(
-            (gi, pi) for pi in range(len(packed.path_ids))
-        )
-    # per-(graph, path): (nw, run_start_cols, run_start_sketches u64 [M, s])
-    path_runs: Dict[Tuple[int, int], Tuple[int, np.ndarray, np.ndarray]] = {}
-    for Lb, rows in sorted(by_lb.items()):
-        for c0 in range(0, len(rows), ROW_CHUNK):
-            chunk = rows[c0 : c0 + ROW_CHUNK]
-            R = ROW_CHUNK  # fixed shape: pad the tail chunk with empty rows
-            codes = np.full((R, Lb), 4, dtype=np.uint8)
-            lens = np.zeros(R, dtype=np.int32)
-            for r, (gi, pi) in enumerate(chunk):
-                packed = packs[gi]
+    # --- sequence-blocked device sketching -------------------------------
+    # Every device call has ONE fixed shape [ROW_CHUNK, BLOCK_NW + w - 1]:
+    # rows with more than BLOCK_NW windows split into column blocks carrying
+    # a (w-1)-base halo (the sequence-parallel decomposition, SURVEY §5), and
+    # block-boundary runs are stitched on the host. One shape = one XLA
+    # compile per build AND it sidesteps a backend miscompile observed on the
+    # axon TPU tunnel for [512, 3072] inputs (large-shape window sketches
+    # silently came back wrong); a golden self-check below guards the one
+    # shape actually used.
+    path_runs = _device_sketch_blocked(
+        packs, window_size, kmer_size, sketch_size
+    )
+    if path_runs is None:  # self-check failed: numpy host fallback
+        path_runs = {}
+        for gi, packed in enumerate(packs):
+            for pi in range(len(packed.path_ids)):
                 ln = int(packed.lengths[pi])
-                codes[r, :ln] = packed.codes[pi, :ln]
-                lens[r] = ln
-            hi, lo = window_sketches(
-                jnp.asarray(codes), jnp.asarray(lens), kmer_size,
-                sketch_size, window_size,
-            )
-            change = np.asarray(_change_mask(hi, lo))  # [R, nw_pad] bool
-            g_rows: List[np.ndarray] = []
-            g_cols: List[np.ndarray] = []
-            for r, (gi, pi) in enumerate(chunk):
-                nw = int(packs[gi].lengths[pi]) - window_size + 1
-                cols = np.flatnonzero(change[r, :nw])
-                g_rows.append(np.full(len(cols), r, dtype=np.int32))
-                g_cols.append(cols.astype(np.int32))
-            rows_np = np.concatenate(g_rows)
-            cols_np = np.concatenate(g_cols)
-            M = len(rows_np)
-            Mb = -(-max(M, 1) // 4096) * 4096  # bucket the gather shape
-            rpad = np.zeros(Mb, dtype=np.int32)
-            cpad = np.zeros(Mb, dtype=np.int32)
-            rpad[:M] = rows_np
-            cpad[:M] = cols_np
-            ghi, glo = _gather_sketches(
-                hi, lo, jnp.asarray(rpad), jnp.asarray(cpad)
-            )
-            sk = u64.to_np(np.asarray(ghi)[:M], np.asarray(glo)[:M])  # [M, s]
-            base = 0
-            for r, (gi, pi) in enumerate(chunk):
-                n = len(g_cols[r])
-                nw = int(packs[gi].lengths[pi]) - window_size + 1
-                path_runs[(gi, pi)] = (
-                    nw, g_cols[r], sk[base : base + n]
+                nw = ln - window_size + 1
+                sk = _window_sketch_np(
+                    packed.codes[pi, :ln], kmer_size, sketch_size, window_size
                 )
-                base += n
+                change = np.ones(nw, dtype=bool)
+                change[1:] = (sk[1:] != sk[:-1]).any(axis=1)
+                cols = np.flatnonzero(change)
+                path_runs[(gi, pi)] = (nw, cols.astype(np.int64), sk[cols])
 
     out: List[Dict[str, List[Key]]] = []
     for gi, (graph, packed) in enumerate(zip(graphs, packs)):
@@ -264,6 +236,170 @@ def sketch_graph(
 ) -> Dict[str, List[Key]]:
     """WindowGraph equivalent: {"g%dn%do%d" -> [Key, ...]} per graph."""
     return sketch_graphs([graph], window_size, kmer_size, sketch_size)[0]
+
+
+BLOCK_NW = 1024  # window positions per device column block
+
+_device_check: Dict[Tuple[int, int, int], bool] = {}
+
+
+def _window_sketch_np(codes: np.ndarray, k: int, s: int, w: int) -> np.ndarray:
+    """All stride-1 window sketches of one row, golden numpy (van Herk
+    sliding-min over the multihash matrix). u64 [nw, s]."""
+    h = nthash.multihash_np(
+        nthash.canonical_hashes_np(codes, k), k, s
+    )  # [nk, s] u64
+    nk = h.shape[0]
+    m = w - k + 1
+    nw = len(codes) - w + 1
+    n_pad = (-nk) % m
+    if n_pad:
+        h = np.concatenate(
+            [h, np.full((n_pad, s), np.uint64(0xFFFFFFFFFFFFFFFF))]
+        )
+    nb = h.shape[0] // m
+    blk = h.reshape(nb, m, s)
+    pref = np.minimum.accumulate(blk, axis=1).reshape(nb * m, s)
+    suff = np.minimum.accumulate(blk[:, ::-1], axis=1)[:, ::-1].reshape(
+        nb * m, s
+    )
+    idx = np.arange(nw)
+    return np.minimum(suff[idx], pref[idx + m - 1])
+
+
+def _device_sketch_selfcheck(k: int, s: int, w: int) -> bool:
+    """One-time (per shape config) golden check of the blocked device kernel:
+    a ragged random [ROW_CHUNK, BLOCK_NW + w - 1] batch, sampled windows
+    compared bit-for-bit against the numpy ntHash golden. The axon TPU
+    tunnel backend has miscompiled other window-sketch shapes before —
+    corrupt sketches silently lose mapped reads, so never trust an
+    unverified shape."""
+    key = (k, s, w)
+    ok = _device_check.get(key)
+    if ok is not None:
+        return ok
+    rng = np.random.default_rng(0xC0FFEE)
+    W_in = BLOCK_NW + w - 1
+    codes = np.full((ROW_CHUNK, W_in), 4, dtype=np.uint8)
+    lens = np.zeros(ROW_CHUNK, dtype=np.int32)
+    for r in range(0, ROW_CHUNK, 37):  # sparse real rows like a tail chunk
+        ln = int(rng.integers(w, W_in + 1))
+        lens[r] = ln
+        codes[r, :ln] = rng.integers(0, 4, size=ln, dtype=np.uint8)
+    lens[0], codes[0, :] = W_in, rng.integers(0, 4, size=W_in, dtype=np.uint8)
+    hi, lo = window_sketches(jnp.asarray(codes), jnp.asarray(lens), k, s, w)
+    hi = np.asarray(hi)
+    lo = np.asarray(lo)
+    ok = True
+    for r in range(0, ROW_CHUNK, 37):
+        nw = lens[r] - w + 1
+        if nw <= 0:
+            continue
+        for i in (0, nw // 2, nw - 1):
+            golden = nthash.khf_sketch_np(codes[r, i : i + w], k, s)
+            got = (hi[r, i].astype(np.uint64) << np.uint64(32)) | lo[
+                r, i
+            ].astype(np.uint64)
+            if (got != golden).any():
+                ok = False
+                break
+        if not ok:
+            break
+    if not ok:
+        import logging
+
+        logging.getLogger("groot").warning(
+            "device window-sketch kernel failed its golden self-check on "
+            "this backend; falling back to host sketching"
+        )
+    _device_check[key] = ok
+    return ok
+
+
+def _device_sketch_blocked(
+    packs: List[PackedPaths], window_size: int, kmer_size: int, sketch_size: int
+):
+    """Fixed-shape blocked device sketching of every path row. Returns
+    {(gi, pi): (nw, run_start_cols i64, run_start_sketches u64[M, s])}, or
+    None if the device kernel fails its golden self-check."""
+    if not _device_sketch_selfcheck(kmer_size, sketch_size, window_size):
+        return None
+    w = window_size
+    W_in = BLOCK_NW + w - 1
+    # work items: one (row, column-block) tile each
+    items: List[Tuple[int, int, int, int]] = []  # (gi, pi, c0, nw_blk)
+    for gi, packed in enumerate(packs):
+        for pi in range(len(packed.path_ids)):
+            nw = int(packed.lengths[pi]) - w + 1
+            for c0 in range(0, nw, BLOCK_NW):
+                items.append((gi, pi, c0, min(BLOCK_NW, nw - c0)))
+
+    # per-(gi, pi) accumulated (cols, sketches) run lists, in block order
+    acc_cols: Dict[Tuple[int, int], List[np.ndarray]] = {}
+    acc_sk: Dict[Tuple[int, int], List[np.ndarray]] = {}
+    last_sk: Dict[Tuple[int, int], np.ndarray] = {}
+    for i0 in range(0, len(items), ROW_CHUNK):
+        chunk = items[i0 : i0 + ROW_CHUNK]
+        codes = np.full((ROW_CHUNK, W_in), 4, dtype=np.uint8)
+        lens = np.zeros(ROW_CHUNK, dtype=np.int32)
+        for r, (gi, pi, c0, _nwb) in enumerate(chunk):
+            ln = int(packs[gi].lengths[pi])
+            span = min(ln - c0, W_in)
+            codes[r, :span] = packs[gi].codes[pi, c0 : c0 + span]
+            lens[r] = span
+        hi, lo = window_sketches(
+            jnp.asarray(codes), jnp.asarray(lens), kmer_size,
+            sketch_size, w,
+        )
+        change = np.asarray(_change_mask(hi, lo))  # [R, BLOCK_NW] bool
+        g_cols: List[np.ndarray] = []
+        rows_l: List[np.ndarray] = []
+        for r, (_gi, _pi, _c0, nwb) in enumerate(chunk):
+            cols = np.flatnonzero(change[r, :nwb])
+            g_cols.append(cols.astype(np.int32))
+            rows_l.append(np.full(len(cols), r, dtype=np.int32))
+        rows_np = np.concatenate(rows_l)
+        cols_np = np.concatenate(g_cols)
+        M = len(rows_np)
+        Mb = -(-max(M, 1) // 4096) * 4096  # bucket the gather shape
+        rpad = np.zeros(Mb, dtype=np.int32)
+        cpad = np.zeros(Mb, dtype=np.int32)
+        rpad[:M] = rows_np
+        cpad[:M] = cols_np
+        ghi, glo = _gather_sketches(hi, lo, jnp.asarray(rpad), jnp.asarray(cpad))
+        sk = u64.to_np(np.asarray(ghi)[:M], np.asarray(glo)[:M])  # [M, s]
+        base = 0
+        for r, (gi, pi, c0, _nwb) in enumerate(chunk):
+            n = len(g_cols[r])
+            cols = g_cols[r].astype(np.int64) + c0
+            sks = sk[base : base + n]
+            base += n
+            key = (gi, pi)
+            if c0 > 0 and key in last_sk:
+                # stitch across the block boundary: the block's first window
+                # is flagged as a run start unconditionally; drop it when it
+                # continues the previous block's final run
+                if n and (sks[0] == last_sk[key]).all():
+                    cols = cols[1:]
+                    sks = sks[1:]
+            acc_cols.setdefault(key, []).append(cols)
+            acc_sk.setdefault(key, []).append(sks)
+            if len(sks):
+                last_sk[key] = sks[-1]
+
+    path_runs: Dict[Tuple[int, int], Tuple[int, np.ndarray, np.ndarray]] = {}
+    for gi, packed in enumerate(packs):
+        for pi in range(len(packed.path_ids)):
+            nw = int(packed.lengths[pi]) - w + 1
+            key = (gi, pi)
+            cols = np.concatenate(acc_cols[key])
+            sks = (
+                np.concatenate(acc_sk[key])
+                if acc_sk[key]
+                else np.empty((0, sketch_size), np.uint64)
+            )
+            path_runs[key] = (nw, cols, sks)
+    return path_runs
 
 
 def _merge_windows(

@@ -207,3 +207,68 @@ def test_full_equality_query_fast_path_matches_banded():
     k2 = sorted(zip(r2.tolist(), w2.tolist()))
     assert k1 == k2
     assert len(k1) > 0
+
+
+def test_blocked_device_sketching_stitches_runs(monkeypatch):
+    """The GROOT_DEVICE_SKETCH path splits rows into 1024-window column
+    blocks with a (w-1) halo; its runs (incl. boundary stitching across
+    blocks and repeat-induced merge runs) must match the host/numpy path
+    exactly on rows much longer than one block."""
+    from groot_tpu.index import window as win_mod
+
+    rng = np.random.default_rng(21)
+    w, k, s = 100, 31, 16
+    # one long path (>2 blocks) with a repeated stretch to force merge runs
+    seq = rng.integers(0, 4, size=2600, dtype=np.uint8)
+    seq[1200:1450] = seq[0]  # constant stretch -> identical window runs
+    row = "".join("ACGT"[b] for b in seq)
+    seq2 = seq.copy()
+    seq2[[400, 900, 1800, 2200]] = (seq2[[400, 900, 1800, 2200]] + 1) % 4
+    row2 = "".join("ACGT"[b] for b in seq2)
+    gfa = msa_to_gfa([("geneA", row), ("geneB", row2)], drop_consensus=False)
+
+    monkeypatch.setenv("GROOT_DEVICE_SKETCH", "1")
+    win_mod._device_check.clear()
+    g_dev = GrootGraph.from_gfa(gfa, 5)
+    res_dev = win_mod.sketch_graphs([g_dev], w, k, s)[0]
+
+    monkeypatch.delenv("GROOT_DEVICE_SKETCH")
+    g_host = GrootGraph.from_gfa(gfa, 5)
+    res_host = win_mod.sketch_graphs([g_host], w, k, s)[0]
+
+    assert set(res_dev) == set(res_host)
+    assert g_dev.num_distinct_sketches == g_host.num_distinct_sketches
+    for ks in res_host:
+        assert len(res_dev[ks]) == len(res_host[ks])
+        for kd, kh in zip(res_dev[ks], res_host[ks]):
+            assert (kd.sketch == kh.sketch).all()
+            assert kd.merge_span == kh.merge_span
+            assert kd.contained_nodes == kh.contained_nodes
+            assert kd.ref == kh.ref
+
+
+def test_device_sketch_selfcheck_falls_back(monkeypatch):
+    """A failing golden self-check must reroute the device path to the
+    numpy fallback (never trust a miscompiling backend silently)."""
+    from groot_tpu.index import window as win_mod
+
+    w, k, s = 100, 31, 16
+    rng = np.random.default_rng(3)
+    row = "".join("ACGT"[b] for b in rng.integers(0, 4, size=1500))
+    gfa = msa_to_gfa([("geneA", row)], drop_consensus=False)
+
+    monkeypatch.setenv("GROOT_DEVICE_SKETCH", "1")
+    monkeypatch.setattr(
+        win_mod, "_device_sketch_selfcheck", lambda *a: False
+    )
+    g1 = GrootGraph.from_gfa(gfa, 7)
+    res_fb = win_mod.sketch_graphs([g1], w, k, s)[0]
+
+    monkeypatch.delenv("GROOT_DEVICE_SKETCH")
+    g2 = GrootGraph.from_gfa(gfa, 7)
+    res_host = win_mod.sketch_graphs([g2], w, k, s)[0]
+    assert set(res_fb) == set(res_host)
+    for ks in res_host:
+        for kd, kh in zip(res_fb[ks], res_host[ks]):
+            assert (kd.sketch == kh.sketch).all()
+            assert kd.merge_span == kh.merge_span
