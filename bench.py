@@ -192,7 +192,10 @@ def main() -> int:
     if not args.noAlign:
         try:
             mix = ensure_mix()
-            for _pass in range(2):
+            # best-of-3: the 2-core bench host sees multi-x ambient
+            # contention; the recorded metric should reflect the machine,
+            # not whoever else is running
+            for _pass in range(3):
                 refs = bamio.build_references(info.store)
                 with open(os.path.join(CACHE, "mix.bam"), "wb") as fh2:
                     w2 = bamio.BamWriter(fh2, refs)

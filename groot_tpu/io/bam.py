@@ -585,6 +585,17 @@ def bgzf_decompress(raw: bytes) -> bytes:
         blocks.append((comp_off, bsize - 12 - xlen - 8, isize))
         total += isize
         off += bsize
+    from . import native as _native
+
+    if blocks:
+        import numpy as _np
+
+        arr = _np.asarray(blocks, dtype=_np.int64)
+        res = _native.inflate_blocks(
+            raw, arr[:, 0], arr[:, 1], arr[:, 2], total
+        )
+        if res is not None:
+            return res
     out = bytearray(total)
     mv = memoryview(raw)
     pos = 0

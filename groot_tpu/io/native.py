@@ -72,6 +72,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.gio_bgzf_many.argtypes = [
             ctypes.c_char_p, _LONG, _LONG, _U8P, _LONG,
         ]
+        lib.gio_inflate_blocks.restype = _LONG
+        lib.gio_inflate_blocks.argtypes = [
+            ctypes.c_char_p, _LP, _LP, _LP, _LONG, _U8P,
+        ]
         _I8P = np.ctypeslib.ndpointer(dtype=np.int8, flags="C_CONTIGUOUS")
         _I32P = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
         _U64Pc = np.ctypeslib.ndpointer(dtype=np.uint64, flags="C_CONTIGUOUS")
@@ -639,6 +643,24 @@ def bgzf_block(data: bytes) -> Optional[bytes]:
     if n < 0:
         return None
     return out[:n].tobytes()
+
+
+def inflate_blocks(raw, off, clen, isize, total: int) -> Optional[bytes]:
+    """Inflate pre-walked BGZF blocks (raw deflate payloads) with
+    libdeflate in one native call, or None to use the zlib path. `raw` is
+    the whole BGZF byte string; off/clen/isize are int64 arrays."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "gio_inflate_blocks"):
+        return None
+    out = np.empty(total, np.uint8)
+    n = lib.gio_inflate_blocks(
+        raw, np.ascontiguousarray(off, np.int64),
+        np.ascontiguousarray(clen, np.int64),
+        np.ascontiguousarray(isize, np.int64), len(off), out,
+    )
+    if n != total:
+        return None
+    return out.tobytes()
 
 
 def bgzf_many(data: bytes, bs: int = 0xFF00) -> Optional[bytes]:

@@ -425,6 +425,31 @@ long gio_bgzf_many(
     return written;
 }
 
+// Inflate pre-walked BGZF blocks (raw deflate payloads) with libdeflate
+// (~3x zlib); the caller (io.bam.bgzf_decompress) parses the BSIZE fields.
+// Returns total bytes written, or -1 on a corrupt block / isize mismatch.
+long gio_inflate_blocks(
+    const uint8_t* raw, const long* off, const long* clen,
+    const long* isize, long n_blocks, uint8_t* out) {
+    static thread_local struct libdeflate_decompressor* d = nullptr;
+    if (!d) {
+        d = libdeflate_alloc_decompressor();
+        if (!d) return -1;
+    }
+    long pos = 0;
+    for (long i = 0; i < n_blocks; i++) {
+        if (!isize[i]) continue;
+        size_t actual = 0;
+        if (libdeflate_deflate_decompress(
+                d, raw + off[i], (size_t)clen[i], out + pos,
+                (size_t)isize[i], &actual) != LIBDEFLATE_SUCCESS ||
+            (long)actual != isize[i])
+            return -1;
+        pos += isize[i];
+    }
+    return pos;
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------
