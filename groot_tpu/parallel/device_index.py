@@ -34,6 +34,9 @@ class DeviceIndex:
     num_window_kmers: int
     sorted_sigs: jnp.ndarray  # u32 [L, N]
     band_idx: jnp.ndarray     # i32 [L, N]
+    fsig_sorted: jnp.ndarray  # u32 [N] sorted full-sketch signatures
+    forder: jnp.ndarray       # i32 [N] fsig order -> window id
+    cf: int                   # max identical-fsig bucket size
     sk_hi: jnp.ndarray        # u32 [N, s]
     sk_lo: jnp.ndarray        # u32 [N, s]
     graph_ids: jnp.ndarray    # i32 [N]
@@ -115,6 +118,16 @@ class DeviceIndex:
             w_graph_arr = np.array(
                 [k.graph_id for k in index.keys], dtype=np.int32
             )
+        # full-sketch signature table for the exact all-slot-equality mode
+        # (same table the host fast path uses, lshe._build_full_table)
+        if not hasattr(index, "_full_table"):
+            index._build_full_table()
+        fsig, forder = index._full_table
+        if len(fsig):
+            _, counts = np.unique(fsig, return_counts=True)
+            cf = int(counts.max())
+        else:
+            cf = 1
         return cls(
             k=kmer_size,
             s=index.sketch_size,
@@ -122,6 +135,9 @@ class DeviceIndex:
             num_window_kmers=index.num_window_kmers,
             sorted_sigs=jnp.asarray(t["sorted_sigs"]),
             band_idx=jnp.asarray(t["idx"]),
+            fsig_sorted=jnp.asarray(np.ascontiguousarray(fsig, np.uint32)),
+            forder=jnp.asarray(forder.astype(np.int32)),
+            cf=cf,
             sk_hi=jnp.asarray(
                 (index.sketches >> np.uint64(32)).astype(np.uint32)
             ),
@@ -142,6 +158,8 @@ class DeviceIndex:
         return {
             "sorted_sigs": self.sorted_sigs,
             "band_idx": self.band_idx,
+            "fsig_sorted": self.fsig_sorted,
+            "forder": self.forder,
             "sk_hi": self.sk_hi,
             "sk_lo": self.sk_lo,
             "graph_ids": self.graph_ids,
@@ -149,6 +167,22 @@ class DeviceIndex:
             "win_coeff": self.win_coeff,
             "win_multi": self.win_multi,
         }
+
+
+def _max_keep_q(d: float, t: float) -> int:
+    """Largest integer q with (q+d)/(2q) > t evaluated in float64 — the
+    exact containment bound of the host full-equality fast path
+    (lshe.query_batch_np); monotonically decreasing in q."""
+    if not (1.0 + d) / 2.0 > t:  # q=1 already fails
+        return 0
+    lo, hi = 1, 1 << 30
+    while lo < hi:
+        mid = (lo + hi + 1) // 2
+        if (mid + d) / (2.0 * mid) > t:
+            lo = mid
+        else:
+            hi = mid - 1
+    return lo
 
 
 def align_step(
@@ -163,9 +197,19 @@ def align_step(
     num_nodes: int,
     num_graphs: int,
     threshold: float,
+    full_equality: bool = False,
+    cf: int = 1,
 ):
     """One fused device step: sketch -> LSH seed -> containment filter ->
     weight scatter (hot loops #2 and #3 plus the weighting).
+
+    With full_equality=True (valid whenever the containment bound forces
+    all s slots equal for every read in the batch — groot's standard
+    t=0.99; decided per batch by make_sharded_align_step exactly like the
+    host query), candidates come from an exact join on the full-sketch
+    signature table: integer all-slot verification, the containment cutoff
+    precomputed in float64 — bit-identical keep decisions to the host
+    path, no per-band candidate cap, no f32 boundary loss.
 
     Returns (win_idx [B, C], contain [B, C], node_weights [num_nodes],
     graph_kmers [num_graphs], mapped [B] bool)."""
@@ -173,28 +217,41 @@ def align_step(
     q_hi, q_lo = nthash.khf_sketch(codes, k, s, valid_len=lengths)
     kmer_counts = (lengths - (k - 1)).astype(jnp.int32)
 
-    sorted_sigs = tree["sorted_sigs"]
-    band_idx = tree["band_idx"]
-    Lbands, N = sorted_sigs.shape
-    M = MAX_PER_BAND
-    sigs = _mix_bands_jax(q_hi, q_lo, band_k)
-
-    def per_band(table_row, idx_row, sig_col):
-        lo = jnp.searchsorted(table_row, sig_col, side="left")
-        hi = jnp.searchsorted(table_row, sig_col, side="right")
-        take = lo[:, None] + jnp.arange(M)[None, :]
+    N = tree["sorted_sigs"].shape[1]
+    if full_equality:
+        fsig = tree["fsig_sorted"]
+        qsig = _mix_bands_jax(q_hi, q_lo, s)[:, 0]
+        lo = jnp.searchsorted(fsig, qsig, side="left")
+        hi = jnp.searchsorted(fsig, qsig, side="right")
+        take = lo[:, None] + jnp.arange(cf)[None, :]
         valid = take < hi[:, None]
-        take = jnp.clip(take, 0, N - 1)
-        return jnp.where(valid, idx_row[take], -1)
+        cands = jnp.where(
+            valid, tree["forder"][jnp.clip(take, 0, N - 1)], -1
+        )
+    else:
+        sorted_sigs = tree["sorted_sigs"]
+        band_idx = tree["band_idx"]
+        Lbands = sorted_sigs.shape[0]
+        M = MAX_PER_BAND
+        sigs = _mix_bands_jax(q_hi, q_lo, band_k)
 
-    cands = jax.vmap(per_band, in_axes=(0, 0, 1), out_axes=1)(
-        sorted_sigs, band_idx, sigs
-    ).reshape(B, Lbands * M)
-    cands = jnp.sort(cands, axis=1)
-    dup = jnp.concatenate(
-        [jnp.zeros((B, 1), dtype=bool), cands[:, 1:] == cands[:, :-1]], axis=1
-    )
-    cands = jnp.where(dup, -1, cands)
+        def per_band(table_row, idx_row, sig_col):
+            lo = jnp.searchsorted(table_row, sig_col, side="left")
+            hi = jnp.searchsorted(table_row, sig_col, side="right")
+            take = lo[:, None] + jnp.arange(M)[None, :]
+            valid = take < hi[:, None]
+            take = jnp.clip(take, 0, N - 1)
+            return jnp.where(valid, idx_row[take], -1)
+
+        cands = jax.vmap(per_band, in_axes=(0, 0, 1), out_axes=1)(
+            sorted_sigs, band_idx, sigs
+        ).reshape(B, Lbands * M)
+        cands = jnp.sort(cands, axis=1)
+        dup = jnp.concatenate(
+            [jnp.zeros((B, 1), dtype=bool), cands[:, 1:] == cands[:, :-1]],
+            axis=1,
+        )
+        cands = jnp.where(dup, -1, cands)
 
     safe = jnp.maximum(cands, 0)
     eq = (
@@ -204,7 +261,11 @@ def align_step(
     j = eq.astype(jnp.float32) / s
     qs = kmer_counts[:, None].astype(jnp.float32)
     contain = j * (qs + num_window_kmers) / ((1.0 + j) * qs)
-    keep = (cands >= 0) & (contain > threshold)
+    if full_equality:
+        qmax = _max_keep_q(float(num_window_kmers), threshold)
+        keep = (cands >= 0) & (eq == s) & (kmer_counts[:, None] <= qmax)
+    else:
+        keep = (cands >= 0) & (contain > threshold)
     win_idx = jnp.where(keep, cands, -1)
 
     # weighting (noAlign semantics: every mapping weights its window's nodes,
@@ -236,38 +297,63 @@ def make_sharded_align_step(
     except ImportError:  # older jax
         from jax.experimental.shard_map import shard_map
 
-    kwargs = dict(
-        k=dev.k,
-        s=dev.s,
-        band_k=dev.band_k,
-        num_window_kmers=dev.num_window_kmers,
-        num_nodes=dev.num_nodes,
-        num_graphs=dev.num_graphs,
-        threshold=threshold,
-    )
-
-    def local_step(tree, codes, lengths):
-        win, con, nw, gk, mapped = align_step(tree, codes, lengths, **kwargs)
-        # merge tallies across the data axis (ICI allreduce)
-        nw = jax.lax.psum(nw, axis)
-        gk = jax.lax.psum(gk, axis)
-        return win, con, nw, gk, mapped
-
-    rep = P()
-    shard = P(axis)
-    try:
-        step = shard_map(
-            local_step,
-            mesh=mesh,
-            in_specs=(rep, shard, shard),
-            out_specs=(shard, shard, rep, rep, shard),
+    def build(full_eq: bool):
+        kwargs = dict(
+            k=dev.k,
+            s=dev.s,
+            band_k=dev.band_k,
+            num_window_kmers=dev.num_window_kmers,
+            num_nodes=dev.num_nodes,
+            num_graphs=dev.num_graphs,
+            threshold=threshold,
+            full_equality=full_eq,
+            cf=dev.cf,
         )
-    except TypeError:  # older API required check_rep for psum-into-replicated
-        step = shard_map(
-            local_step,
-            mesh=mesh,
-            in_specs=(rep, shard, shard),
-            out_specs=(shard, shard, rep, rep, shard),
-            check_rep=False,
-        )
-    return jax.jit(step)
+
+        def local_step(tree, codes, lengths):
+            win, con, nw, gk, mapped = align_step(
+                tree, codes, lengths, **kwargs
+            )
+            # merge tallies across the data axis (ICI allreduce)
+            nw = jax.lax.psum(nw, axis)
+            gk = jax.lax.psum(gk, axis)
+            return win, con, nw, gk, mapped
+
+        rep = P()
+        shard = P(axis)
+        try:
+            sm = shard_map(
+                local_step,
+                mesh=mesh,
+                in_specs=(rep, shard, shard),
+                out_specs=(shard, shard, rep, rep, shard),
+            )
+        except TypeError:  # older API: check_rep for psum-into-replicated
+            sm = shard_map(
+                local_step,
+                mesh=mesh,
+                in_specs=(rep, shard, shard),
+                out_specs=(shard, shard, rep, rep, shard),
+                check_rep=False,
+            )
+        return jax.jit(sm)
+
+    steps: Dict[bool, object] = {}
+    d = float(dev.num_window_kmers)
+    s = dev.s
+
+    def step(tree, codes, lengths):
+        # per-batch mode selection, identical to the host query's
+        # full-equality condition (lshe.query_batch_np): when the
+        # containment bound forces all s slots equal for every read, the
+        # exact join applies; otherwise the banded tables
+        kc = np.asarray(lengths).astype(np.float64) - (dev.k - 1)
+        qmin = float(kc.min()) if kc.size else 1.0
+        bound = s * threshold * qmin / (qmin + d - threshold * qmin)
+        full_eq = bool(bound >= s - 1)
+        fn = steps.get(full_eq)
+        if fn is None:
+            fn = steps[full_eq] = build(full_eq)
+        return fn(tree, codes, lengths)
+
+    return step

@@ -77,5 +77,36 @@ def test_shard_count_invariance(tiny):
         np.asarray(nw8), np.asarray(base[2]), rtol=1e-5
     )
     np.testing.assert_allclose(np.asarray(gk8), np.asarray(base[3]), rtol=1e-6)
-    # per-read hit sets identical
-    assert (np.asarray(win8)[:B] == np.asarray(base[0])).all()
+    # per-read hit sets identical (the sharded step may pick the exact
+    # full-equality join, whose candidate width differs from the banded
+    # base call — compare kept window ids, not array layout)
+    w8 = np.asarray(win8)[:B]
+    wb = np.asarray(base[0])
+    for b in range(B):
+        assert set(w8[b][w8[b] >= 0].tolist()) == set(
+            wb[b][wb[b] >= 0].tolist()
+        )
+
+
+def test_full_equality_device_query_matches_host(tiny):
+    """The exact full-equality device mode (t=0.99) must reproduce the host
+    query's hit set read-for-read — no per-band candidate cap, integer
+    all-slot verification, float64 containment cutoff."""
+    from groot_tpu.ops.pallas_sketch import sketch_reads
+
+    info, index, dev, codes, lengths = tiny
+    win, contain, node_w, graph_k, mapped = align_step(
+        dev.tree(), codes, lengths,
+        full_equality=True, cf=dev.cf, **_step_kwargs(dev),
+    )
+    win = np.asarray(win)
+    hi, lo = sketch_reads(codes, lengths, dev.k, dev.s)
+    kc = (lengths - dev.k + 1).astype(np.int32)
+    rows, wins = index.query_batch_np(hi, lo, kc, 0.99)
+    host: dict = {}
+    for r, w in zip(rows.tolist(), wins.tolist()):
+        host.setdefault(r, set()).add(w)
+    assert any(host.values())
+    for b in range(codes.shape[0]):
+        got = set(win[b][win[b] >= 0].tolist())
+        assert got == host.get(b, set()), b
