@@ -194,14 +194,18 @@ def main() -> int:
             mix = ensure_mix()
             # best-of-3: the 2-core bench host sees multi-x ambient
             # contention; the recorded metric should reflect the machine,
-            # not whoever else is running
+            # not whoever else is running. Batch 64k measures ~15% over 8k
+            # on this workload (few hits -> per-batch overhead dominates);
+            # the ARG-dense run above keeps the smaller batch, which
+            # pipelines better when every read aligns.
+            mix_batch = max(args.batchSize, 65536)
             for _pass in range(3):
                 refs = bamio.build_references(info.store)
                 with open(os.path.join(CACHE, "mix.bam"), "wb") as fh2:
                     w2 = bamio.BamWriter(fh2, refs)
                     t0 = time.time()
                     st2 = run_align(
-                        info, [mix], bam_writer=w2, batch_size=args.batchSize
+                        info, [mix], bam_writer=w2, batch_size=mix_batch
                     )
                     mix_elapsed = time.time() - t0
                     w2.close()
