@@ -149,9 +149,10 @@ class ContainmentIndex:
         lshe.go:108-147; we build once and serialise the tables)."""
         if self._tables is not None and self.sketches is not None:
             return  # v2 load: tables came from disk
-        if not self.keys:
+        if not len(self.keys):
             raise ValueError("loaded an empty index file")
-        self.sketches = np.stack([k.sketch for k in self.keys])
+        if self.sketches is None:  # legacy add_window build path
+            self.sketches = np.stack([k.sketch for k in self.keys])
         N, s = self.sketches.shape
         assert s == self.sketch_size
         tables = {}
@@ -401,7 +402,10 @@ class ContainmentIndex:
     # serialisation (groot.lshe equivalent)
     # ------------------------------------------------------------------
     def _to_soa(self) -> dict:
-        """Flatten the Key list into struct-of-arrays (one-time, at dump)."""
+        """Flatten the Key list into struct-of-arrays (one-time, at dump).
+        Builds from sketch_and_index / load already carry the soa."""
+        if getattr(self, "soa", None) is not None:
+            return self.soa
         keys = self.keys
         N = len(keys)
         cn_ptr = np.zeros(N + 1, dtype=np.int64)

@@ -140,12 +140,24 @@ def _gather_sketches(hi, lo, rows, cols):
 def sketch_graphs(
     graphs: List[GrootGraph], window_size: int, kmer_size: int, sketch_size: int
 ) -> List[Dict[str, List[Key]]]:
+    """Dict[key_base -> [Key, ...]] view over sketch_graphs_soa — the
+    original WindowGraph-shaped return (tests and small callers); the index
+    pipeline consumes the struct-of-arrays directly."""
+    soas = sketch_graphs_soa(graphs, window_size, kmer_size, sketch_size)
+    return [
+        _soa_to_lookup(g, soa, window_size) for g, soa in zip(graphs, soas)
+    ]
+
+
+def sketch_graphs_soa(
+    graphs: List[GrootGraph], window_size: int, kmer_size: int, sketch_size: int
+) -> List[Dict[str, np.ndarray]]:
     """Batched WindowGraph over many graphs: ALL path rows of all graphs are
-    flattened onto one row axis, grouped by padded row length and sketched in
-    fixed-shape [ROW_CHUNK, Lb] device calls (one XLA program per Lb bucket
-    instead of one dispatch per graph — the reference sketches graphs one
-    goroutine at a time, graph.go:261). Run detection happens on device and
-    only the distinct (run-start) sketches are fetched."""
+    flattened onto one row axis and sketched in fixed-shape device or native
+    host calls (the reference sketches graphs one goroutine at a time,
+    graph.go:261). Run detection happens in the sketching pass and only the
+    distinct (run-start) sketches are kept; returns one merge soa per graph
+    (_merge_windows_soa)."""
     packs = [pack_graph_paths(g) for g in graphs]
     for g, packed in zip(graphs, packs):
         if (packed.lengths < window_size).any():
@@ -190,12 +202,14 @@ def sketch_graphs(
                     sk[base : base + n],
                 )
                 base += n
-            out: List[Dict[str, List[Key]]] = []
+            out: List[Dict[str, np.ndarray]] = []
             for gi, (graph, packed) in enumerate(zip(graphs, packs)):
                 runs = [
                     path_runs[(gi, pi)] for pi in range(len(packed.path_ids))
                 ]
-                out.append(_merge_windows(graph, packed, runs, window_size))
+                out.append(
+                    _merge_windows_soa(graph, packed, runs, window_size)
+                )
             return out
 
     # --- sequence-blocked device sketching -------------------------------
@@ -224,10 +238,10 @@ def sketch_graphs(
                 cols = np.flatnonzero(change)
                 path_runs[(gi, pi)] = (nw, cols.astype(np.int64), sk[cols])
 
-    out: List[Dict[str, List[Key]]] = []
+    out: List[Dict[str, np.ndarray]] = []
     for gi, (graph, packed) in enumerate(zip(graphs, packs)):
         runs = [path_runs[(gi, pi)] for pi in range(len(packed.path_ids))]
-        out.append(_merge_windows(graph, packed, runs, window_size))
+        out.append(_merge_windows_soa(graph, packed, runs, window_size))
     return out
 
 
@@ -402,17 +416,37 @@ def _device_sketch_blocked(
     return path_runs
 
 
-def _merge_windows(
+def _merge_windows_soa(
     graph: GrootGraph,
     packed: PackedPaths,
     runs: List[Tuple[int, np.ndarray, np.ndarray]],
     window_size: int,
-) -> Dict[str, List[Key]]:
-    """Run merging + cross-path merge from per-path (nw, run_starts,
-    run_start_sketches) triples (run boundaries already found on device)."""
-    window_lookup: Dict[str, List[Key]] = {}
+) -> Dict[str, np.ndarray]:
+    """Run merging + cross-path merge, fully vectorized, emitting the
+    per-graph struct-of-arrays directly (the per-Key Python objects of the
+    old path cost ~60% of the index build; _KeysView materialises Key
+    objects lazily when code actually needs one).
+
+    Reference semantics preserved exactly (graph.go:298-388): the tail run
+    of a path is dropped unless it is
+    the only run; cross-path merging applies at identical (first node,
+    offset) with an identical sketch — contained-node tallies add, refs
+    append in path order, merge_span keeps the max; distinct sketches at
+    the same (node, offset) become separate windows suffixed -0, -1, ... in
+    first-occurrence order, and windows emit grouped by (node, offset) in
+    first-occurrence order (dict-insertion order of the old lookup)."""
+    s = None
+    r_node_l: List[np.ndarray] = []
+    r_off_l: List[np.ndarray] = []
+    r_span_l: List[np.ndarray] = []
+    r_path_l: List[np.ndarray] = []
+    r_sk_l: List[np.ndarray] = []
+    cn_node_l: List[np.ndarray] = []
+    cn_val_l: List[np.ndarray] = []
+    cn_cnt_l: List[np.ndarray] = []
     for pi, path_id in enumerate(packed.path_ids):
         nw, run_starts, run_sketches = runs[pi]
+        s = run_sketches.shape[1]
         segs = packed.segs[pi]
         run_ends = np.append(run_starts[1:] - 1, nw - 1)
 
@@ -421,10 +455,15 @@ def _merge_windows(
         n_runs = len(run_starts)
         m = n_runs - 1 if n_runs > 1 else n_runs
 
-        # per-base tallies of ALL runs of the path in one pass (the per-run
-        # arange/unique/bincount loop was the index-build hot spot)
         a = run_starts[:m].astype(np.int64)
         b = run_ends[:m].astype(np.int64)
+        r_node_l.append(segs[a].astype(np.int64))
+        r_off_l.append(packed.offsets[pi][a].astype(np.int64))
+        r_span_l.append(b - a)
+        r_path_l.append(np.full(m, path_id, dtype=np.int64))
+        r_sk_l.append(run_sketches[:m])
+
+        # per-base tallies of ALL runs of the path in one pass
         sl = b - a + window_size
         starts = np.concatenate(([0], np.cumsum(sl[:-1])))
         rep = np.repeat(np.arange(m), sl)
@@ -437,53 +476,137 @@ def _merge_windows(
         pair = (rep.astype(np.int64) << np.int64(32)) | nodes
         uk, inv = np.unique(pair, return_inverse=True)
         csum = np.bincount(inv, weights=wts)
-        urun = (uk >> np.int64(32)).astype(np.int64)
-        unode = (uk & np.int64(0xFFFFFFFF)).tolist()
-        ccnt = csum.tolist()
-        bounds = np.searchsorted(urun, np.arange(m + 1))
+        cn_node_l.append(uk & np.int64(0xFFFFFFFF))
+        cn_val_l.append(csum)
+        cn_cnt_l.append(
+            np.diff(
+                np.searchsorted(
+                    (uk >> np.int64(32)).astype(np.int64), np.arange(m + 1)
+                )
+            ).astype(np.int64)
+        )
 
-        for ri in range(m):
-            lo, hi = int(bounds[ri]), int(bounds[ri + 1])
-            contained = {
-                int(unode[j]): float(ccnt[j]) for j in range(lo, hi)
-            }
-            key = Key(
-                graph_id=graph.graph_id,
-                node=int(segs[a[ri]]),
-                offset=int(packed.offsets[pi][a[ri]]),
-                contained_nodes=contained,
-                ref=[path_id],
-                sketch=run_sketches[ri].copy(),
-                merge_span=int(b[ri] - a[ri]),
-                window_size=window_size,
-            )
-            _insert_window(window_lookup, key, graph)
-
-    if graph.num_distinct_sketches == 0:
+    r_node = np.concatenate(r_node_l)
+    r_off = np.concatenate(r_off_l)
+    r_span = np.concatenate(r_span_l)
+    r_path = np.concatenate(r_path_l)
+    r_sk = (
+        np.concatenate(r_sk_l) if r_sk_l else np.empty((0, s or 1), np.uint64)
+    )
+    r_cn_cnt = np.concatenate(cn_cnt_l)
+    r_cn_ptr = np.concatenate(([0], np.cumsum(r_cn_cnt)))
+    r_cn_node = np.concatenate(cn_node_l)
+    r_cn_val = np.concatenate(cn_val_l)
+    M = len(r_node)
+    if M == 0:
         raise ValueError(
             f"no sketches produced after windowing graph seqs: {graph.get_ref_ids()}"
         )
-    return window_lookup
+
+    # ---- cross-path grouping -------------------------------------------
+    # sketch-groups: identical (node, offset, sketch) merge into one window
+    comp = np.empty((M, r_sk.shape[1] + 2), dtype=np.uint64)
+    comp[:, 0] = r_node.astype(np.uint64)
+    comp[:, 1] = r_off.astype(np.uint64)
+    comp[:, 2:] = r_sk
+    cv = np.ascontiguousarray(comp).view(
+        np.dtype((np.void, comp.dtype.itemsize * comp.shape[1]))
+    ).ravel()
+    _, g_first, ginv = np.unique(cv, return_index=True, return_inverse=True)
+    G = len(g_first)
+    # key-base groups: same (node, offset) regardless of sketch
+    kb = (r_node << np.int64(32)) | r_off
+    _, kb_first, kb_inv = np.unique(kb, return_index=True, return_inverse=True)
+
+    # emission order: key-bases by first occurrence (dict-insertion order),
+    # then sketch-groups by first occurrence within the key-base (-i order)
+    g_kb_first = kb_first[kb_inv[g_first]]
+    order = np.lexsort((g_first, g_kb_first))
+    kb_sorted = g_kb_first[order]
+    new_kb = np.ones(G, dtype=bool)
+    new_kb[1:] = kb_sorted[1:] != kb_sorted[:-1]
+    ar = np.arange(G)
+    i_idx = ar - np.maximum.accumulate(np.where(new_kb, ar, 0))
+
+    # members of each group, original (= path) order within the group
+    mo = np.argsort(ginv, kind="stable")
+    counts = np.bincount(ginv, minlength=G).astype(np.int64)
+    gptr = np.concatenate(([0], np.cumsum(counts)))
+    span_max = np.maximum.reduceat(r_span[mo], gptr[:-1])
+
+    # refs: member path ids per group, in final emission order
+    counts_o = counts[order]
+    ref_ptr = np.concatenate(([0], np.cumsum(counts_o)))
+    g_seq = np.repeat(order, counts_o)
+    within = np.arange(int(counts_o.sum()), dtype=np.int64) - np.repeat(
+        ref_ptr[:-1], counts_o
+    )
+    ref_ids = r_path[mo[gptr[g_seq] + within]]
+
+    # contained nodes: sum tallies per (group, node), ascending node
+    e_run = np.repeat(np.arange(M), r_cn_cnt)
+    e_g = ginv[e_run].astype(np.int64)
+    combo = (e_g << np.int64(32)) | r_cn_node
+    uc, uinv = np.unique(combo, return_inverse=True)
+    uval = np.bincount(uinv, weights=r_cn_val)
+    uc_g = (uc >> np.int64(32)).astype(np.int64)
+    uc_node = uc & np.int64(0xFFFFFFFF)
+    gb = np.searchsorted(uc_g, np.arange(G + 1))
+    cn_cnt_g = np.diff(gb).astype(np.int64)
+    cn_cnt_o = cn_cnt_g[order]
+    cn_ptr = np.concatenate(([0], np.cumsum(cn_cnt_o)))
+    g_seq2 = np.repeat(order, cn_cnt_o)
+    within2 = np.arange(int(cn_cnt_o.sum()), dtype=np.int64) - np.repeat(
+        cn_ptr[:-1], cn_cnt_o
+    )
+    src2 = gb[g_seq2] + within2
+    cn_seg = uc_node[src2]
+    cn_val = uval[src2]
+
+    graph.num_distinct_sketches = G
+    graph.max_span = int(span_max.max()) if G else 0
+    first_o = g_first[order]
+    return {
+        "w_node": r_node[first_o],
+        "w_off": r_off[first_o].astype(np.int32),
+        "w_merge_span": span_max[order].astype(np.int32),
+        "w_key_i": i_idx.astype(np.int64),
+        "sketches": r_sk[first_o].copy(),
+        "cn_ptr": cn_ptr,
+        "cn_seg": cn_seg,
+        "cn_val": cn_val,
+        "ref_ptr": ref_ptr,
+        "ref_ids": ref_ids,
+    }
 
 
-def _insert_window(lookup: Dict[str, List[Key]], key: Key, graph: GrootGraph):
-    """Cross-path merge at identical node+offset (graph.go:349-388)."""
-    ks = f"g{key.graph_id}n{key.node}o{key.offset}"
-    graph.max_span = max(graph.max_span, key.merge_span)
-    existing = lookup.get(ks)
-    if existing is not None:
-        for other in existing:
-            if (other.sketch == key.sketch).all():
-                for node, freq in key.contained_nodes.items():
-                    other.contained_nodes[node] = (
-                        other.contained_nodes.get(node, 0.0) + freq
-                    )
-                other.ref.extend(key.ref)
-                if key.merge_span > other.merge_span:
-                    other.merge_span = key.merge_span
-                return
-        existing.append(key)
-        graph.num_distinct_sketches += 1
-    else:
-        lookup[ks] = [key]
-        graph.num_distinct_sketches += 1
+def _soa_to_lookup(
+    graph: GrootGraph, soa: Dict[str, np.ndarray], window_size: int
+) -> Dict[str, List[Key]]:
+    """Dict[key_base -> [Key, ...]] view over a per-graph merge soa (the
+    original sketch_graphs return shape; kept for tests and small callers)."""
+    lookup: Dict[str, List[Key]] = {}
+    N = len(soa["w_node"])
+    for i in range(N):
+        lo, hi = int(soa["cn_ptr"][i]), int(soa["cn_ptr"][i + 1])
+        rlo, rhi = int(soa["ref_ptr"][i]), int(soa["ref_ptr"][i + 1])
+        key = Key(
+            graph_id=graph.graph_id,
+            node=int(soa["w_node"][i]),
+            offset=int(soa["w_off"][i]),
+            contained_nodes=dict(
+                zip(
+                    soa["cn_seg"][lo:hi].tolist(),
+                    soa["cn_val"][lo:hi].tolist(),
+                )
+            ),
+            ref=soa["ref_ids"][rlo:rhi].tolist(),
+            sketch=soa["sketches"][i],
+            merge_span=int(soa["w_merge_span"][i]),
+            window_size=window_size,
+        )
+        ks = f"g{key.graph_id}n{key.node}o{key.offset}"
+        lookup.setdefault(ks, []).append(key)
+    return lookup
+
+

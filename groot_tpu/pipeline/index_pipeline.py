@@ -10,12 +10,12 @@ from __future__ import annotations
 import glob
 import logging
 import os
-from typing import Dict, List
+from typing import Dict, List, Tuple
 
 from ..config import Info
 from ..graph.grootgraph import GrootGraph, Store
 from ..index.lshe import ContainmentIndex
-from ..index.window import Key, sketch_graphs
+from ..index.window import sketch_graphs_soa
 from ..io.fastx import read_msa
 from ..io.msa2gfa import msa_to_gfa
 
@@ -55,20 +55,24 @@ def build_graphs(info: Info, msa_files: List[str]) -> List[GrootGraph]:
 
 
 def sketch_and_index(info: Info, graphs: List[GrootGraph]) -> ContainmentIndex:
-    """GraphSketcher + SketchIndexer (index.go:91-211)."""
+    """GraphSketcher + SketchIndexer (index.go:91-211). Consumes the merge
+    struct-of-arrays directly — no per-window Key objects on the build path
+    (the index's Key view stays lazy, lshe._KeysView)."""
+    import numpy as np
+
     store: Store = {}
     num_windows = 0
     prop_distinct = 0.0
     num_masked = 0
     unmasked = [g for g in graphs if not g.masked]
-    windows_per_graph = sketch_graphs(
+    soas = sketch_graphs_soa(
         unmasked, info.window_size, info.kmer_size, info.sketch_size
     )
-    windows_iter = iter(windows_per_graph)
-    all_windows: List[Dict[str, List[Key]]] = []
+    soa_iter = iter(soas)
+    all_soas: List[Tuple[int, dict]] = []  # (graph_id, merge soa)
     for graph in graphs:
         if not graph.masked:
-            all_windows.append(next(windows_iter))
+            all_soas.append((graph.graph_id, next(soa_iter)))
             if graph.max_span > info.max_sketch_span:
                 # NOTE: the reference intends this as a fatal error
                 # (index.go:139-143) but its maxSpan counter is never
@@ -108,12 +112,48 @@ def sketch_and_index(info: Info, graphs: List[GrootGraph]) -> ContainmentIndex:
         num_window_kmers=num_kmers,
         sketch_size=info.sketch_size,
     )
-    sketch_count = 0
-    for window_map in all_windows:
-        for key_base, windows in window_map.items():
-            for i, window in enumerate(windows):
-                index.add_window(f"{key_base}-{i}", window)
-                sketch_count += 1
+    # concatenate the per-graph merge soas into the index soa (the same
+    # layout ContainmentIndex._to_soa produces / load consumes) and the
+    # window key strings "g{g}n{n}o{o}-{i}"
+    counts = [len(soa["w_node"]) for _gid, soa in all_soas]
+    sketch_count = int(sum(counts))
+    soa = {
+        "w_graph": np.concatenate(
+            [np.full(c, gid, np.int64) for (gid, _), c in zip(all_soas, counts)]
+        )
+        if all_soas
+        else np.empty(0, np.int64),
+        "w_node": np.concatenate([s["w_node"] for _, s in all_soas]),
+        "w_off": np.concatenate([s["w_off"] for _, s in all_soas]),
+        "w_merge_span": np.concatenate(
+            [s["w_merge_span"] for _, s in all_soas]
+        ),
+        "w_window_size": np.full(sketch_count, info.window_size, np.int32),
+        "sketches": np.concatenate([s["sketches"] for _, s in all_soas]),
+    }
+    for ptr_name, flat_name in (("cn_ptr", "cn_seg"), ("ref_ptr", "ref_ids")):
+        parts_ptr = [np.zeros(1, np.int64)]
+        base = 0
+        for _, s in all_soas:
+            parts_ptr.append(s[ptr_name][1:] + base)
+            base += int(s[ptr_name][-1])
+        soa[ptr_name] = np.concatenate(parts_ptr)
+        soa[flat_name] = np.concatenate([s[flat_name] for _, s in all_soas])
+    soa["cn_val"] = np.concatenate([s["cn_val"] for _, s in all_soas])
+    index.soa = soa
+    index.sketches = soa["sketches"]
+    from ..index.lshe import _KeysView
+
+    index.keys = _KeysView(soa)
+    index.window_keys = [
+        f"g{gid}n{n}o{o}-{i}"
+        for (gid, s_) in all_soas
+        for n, o, i in zip(
+            s_["w_node"].tolist(),
+            s_["w_off"].tolist(),
+            s_["w_key_i"].tolist(),
+        )
+    ]
     info.attach_db(index)
     log.info("\tnumber of sketches added to the LSH Ensemble index: %d", sketch_count)
     return index
