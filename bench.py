@@ -122,7 +122,10 @@ def main() -> int:
     )
     ap = argparse.ArgumentParser()
     ap.add_argument("--noAlign", action="store_true", help="seed+weight only")
-    ap.add_argument("--batchSize", type=int, default=8192)
+    ap.add_argument(
+        "--batchSize", type=int, default=None,
+        help="reads per batch (default: 8192 dense / 65536 mix)",
+    )
     ap.add_argument(
         "--repeat", type=int, default=10,
         help="replicate the read file N times (amortizes fixed setup; the"
@@ -171,7 +174,8 @@ def main() -> int:
             writer = bamio.BamWriter(bam_fh, refs)
         t0 = time.time()
         stats = run_align(
-            info, reads, bam_writer=writer, batch_size=args.batchSize
+            info, reads, bam_writer=writer,
+            batch_size=args.batchSize or 8192,
         )
         elapsed = time.time() - t0
         if writer is not None:
@@ -198,7 +202,7 @@ def main() -> int:
             # on this workload (few hits -> per-batch overhead dominates);
             # the ARG-dense run above keeps the smaller batch, which
             # pipelines better when every read aligns.
-            mix_batch = max(args.batchSize, 65536)
+            mix_batch = 65536 if args.batchSize is None else args.batchSize
             for _pass in range(3):
                 refs = bamio.build_references(info.store)
                 with open(os.path.join(CACHE, "mix.bam"), "wb") as fh2:

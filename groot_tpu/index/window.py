@@ -435,7 +435,6 @@ def _merge_windows_soa(
     the same (node, offset) become separate windows suffixed -0, -1, ... in
     first-occurrence order, and windows emit grouped by (node, offset) in
     first-occurrence order (dict-insertion order of the old lookup)."""
-    s = None
     r_node_l: List[np.ndarray] = []
     r_off_l: List[np.ndarray] = []
     r_span_l: List[np.ndarray] = []
@@ -446,7 +445,6 @@ def _merge_windows_soa(
     cn_cnt_l: List[np.ndarray] = []
     for pi, path_id in enumerate(packed.path_ids):
         nw, run_starts, run_sketches = runs[pi]
-        s = run_sketches.shape[1]
         segs = packed.segs[pi]
         run_ends = np.append(run_starts[1:] - 1, nw - 1)
 
@@ -486,22 +484,19 @@ def _merge_windows_soa(
             ).astype(np.int64)
         )
 
+    if not r_node_l or sum(len(x) for x in r_node_l) == 0:
+        raise ValueError(
+            f"no sketches produced after windowing graph seqs: {graph.get_ref_ids()}"
+        )
     r_node = np.concatenate(r_node_l)
     r_off = np.concatenate(r_off_l)
     r_span = np.concatenate(r_span_l)
     r_path = np.concatenate(r_path_l)
-    r_sk = (
-        np.concatenate(r_sk_l) if r_sk_l else np.empty((0, s or 1), np.uint64)
-    )
+    r_sk = np.concatenate(r_sk_l)
     r_cn_cnt = np.concatenate(cn_cnt_l)
-    r_cn_ptr = np.concatenate(([0], np.cumsum(r_cn_cnt)))
     r_cn_node = np.concatenate(cn_node_l)
     r_cn_val = np.concatenate(cn_val_l)
     M = len(r_node)
-    if M == 0:
-        raise ValueError(
-            f"no sketches produced after windowing graph seqs: {graph.get_ref_ids()}"
-        )
 
     # ---- cross-path grouping -------------------------------------------
     # sketch-groups: identical (node, offset, sketch) merge into one window
@@ -584,27 +579,19 @@ def _soa_to_lookup(
     graph: GrootGraph, soa: Dict[str, np.ndarray], window_size: int
 ) -> Dict[str, List[Key]]:
     """Dict[key_base -> [Key, ...]] view over a per-graph merge soa (the
-    original sketch_graphs return shape; kept for tests and small callers)."""
-    lookup: Dict[str, List[Key]] = {}
+    original sketch_graphs return shape; kept for tests and small callers).
+    Key materialisation delegates to lshe._KeysView so the soa->Key field
+    mapping lives in exactly one place."""
+    from .lshe import _KeysView
+
     N = len(soa["w_node"])
+    full = dict(soa)
+    full["w_graph"] = np.full(N, graph.graph_id, dtype=np.int64)
+    full["w_window_size"] = np.full(N, window_size, dtype=np.int32)
+    view = _KeysView(full)
+    lookup: Dict[str, List[Key]] = {}
     for i in range(N):
-        lo, hi = int(soa["cn_ptr"][i]), int(soa["cn_ptr"][i + 1])
-        rlo, rhi = int(soa["ref_ptr"][i]), int(soa["ref_ptr"][i + 1])
-        key = Key(
-            graph_id=graph.graph_id,
-            node=int(soa["w_node"][i]),
-            offset=int(soa["w_off"][i]),
-            contained_nodes=dict(
-                zip(
-                    soa["cn_seg"][lo:hi].tolist(),
-                    soa["cn_val"][lo:hi].tolist(),
-                )
-            ),
-            ref=soa["ref_ids"][rlo:rhi].tolist(),
-            sketch=soa["sketches"][i],
-            merge_span=int(soa["w_merge_span"][i]),
-            window_size=window_size,
-        )
+        key = view[i]
         ks = f"g{key.graph_id}n{key.node}o{key.offset}"
         lookup.setdefault(ks, []).append(key)
     return lookup

@@ -578,7 +578,7 @@ def bgzf_decompress(raw: bytes) -> bytes:
             if raw[xo] == 0x42 and raw[xo + 1] == 0x43 and slen == 2:
                 bsize = int.from_bytes(raw[xo + 4 : xo + 6], "little") + 1
             xo += 4 + slen
-        if bsize is None or off + bsize > n:
+        if bsize is None or off + bsize > n or bsize < 12 + xlen + 8:
             return _gzip.decompress(raw)
         isize = int.from_bytes(raw[off + bsize - 4 : off + bsize], "little")
         comp_off = off + 12 + xlen

@@ -173,8 +173,11 @@ def _load() -> Optional[ctypes.CDLL]:
             _U8P,
         ]
         _lib = lib
-    except OSError as e:  # pragma: no cover
-        log.debug("native load failed: %s", e)
+    except (OSError, AttributeError) as e:  # pragma: no cover
+        # AttributeError: a stale .so missing a newly-added symbol (e.g.
+        # make failed but an old binary remains) — fall back to Python
+        # rather than crash at the first native wrapper call
+        log.warning("native library unavailable, using Python paths: %s", e)
     return _lib
 
 

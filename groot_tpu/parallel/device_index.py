@@ -266,6 +266,8 @@ def align_step(
         keep = (cands >= 0) & (eq == s) & (kmer_counts[:, None] <= qmax)
     else:
         keep = (cands >= 0) & (contain > threshold)
+    # mesh-padding rows (length 0 -> kmer_counts <= 0) are not reads
+    keep = keep & (kmer_counts[:, None] > 0)
     win_idx = jnp.where(keep, cands, -1)
 
     # weighting (noAlign semantics: every mapping weights its window's nodes,
@@ -346,8 +348,12 @@ def make_sharded_align_step(
         # per-batch mode selection, identical to the host query's
         # full-equality condition (lshe.query_batch_np): when the
         # containment bound forces all s slots equal for every read, the
-        # exact join applies; otherwise the banded tables
-        kc = np.asarray(lengths).astype(np.float64) - (dev.k - 1)
+        # exact join applies; otherwise the banded tables. Mesh padding
+        # rows (length 0, pad_batch_for_mesh) are not reads — excluding
+        # them keeps a padded final batch in the same mode as unpadded.
+        ln = np.asarray(lengths)
+        ln = ln[ln > 0]
+        kc = ln.astype(np.float64) - (dev.k - 1)
         qmin = float(kc.min()) if kc.size else 1.0
         bound = s * threshold * qmin / (qmin + d - threshold * qmin)
         full_eq = bool(bound >= s - 1)

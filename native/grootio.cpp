@@ -20,7 +20,9 @@
 #include <cstdint>
 #include <cstring>
 #include <zlib.h>
+#ifdef GIO_HAVE_LIBDEFLATE
 #include <libdeflate.h>
+#endif
 
 extern "C" {
 
@@ -121,26 +123,46 @@ void gio_revcomp(uint8_t* codes, long len) {
 // Compress one BGZF block (<= 65280 input bytes). Returns the full block
 // size written to out (header + deflate + crc/isize footer), or -1.
 // libdeflate at level 1: measured 2.8x zlib level 2 on BAM bytes at a
-// slightly BETTER ratio (589 vs 208 MB/s, 0.08 vs 0.09).
+// slightly BETTER ratio (589 vs 208 MB/s, 0.08 vs 0.09); zlib fallback
+// keeps the library buildable on hosts without libdeflate.
 long gio_bgzf_block(const uint8_t* data, long n, uint8_t* out, long out_cap) {
     if (n > 65280) return -1;
-    static thread_local struct libdeflate_compressor* comp_state = nullptr;
-    if (!comp_state) {
-        comp_state = libdeflate_alloc_compressor(1);
-        if (!comp_state) return -1;
-    }
     // header: 18 bytes with BC extra subfield
     uint8_t* hdr = out;
     const uint8_t fixed[16] = {0x1f, 0x8b, 0x08, 0x04, 0, 0, 0, 0,
                                0, 0xff, 6, 0, 0x42, 0x43, 2, 0};
     memcpy(hdr, fixed, 16);
+#ifdef GIO_HAVE_LIBDEFLATE
+    static thread_local struct libdeflate_compressor* comp_state = nullptr;
+    if (!comp_state) {
+        comp_state = libdeflate_alloc_compressor(1);
+        if (!comp_state) return -1;
+    }
     size_t comp = libdeflate_deflate_compress(
         comp_state, data, (size_t)n, out + 18, (size_t)(out_cap - 18 - 8));
     if (comp == 0) return -1;
+    uint32_t crc = libdeflate_crc32(0, data, (size_t)n);
+#else
+    z_stream zs;
+    memset(&zs, 0, sizeof(zs));
+    if (deflateInit2(&zs, 2, Z_DEFLATED, -15, 8, Z_DEFAULT_STRATEGY) != Z_OK)
+        return -1;
+    zs.next_in = (Bytef*)data;
+    zs.avail_in = (uInt)n;
+    zs.next_out = out + 18;
+    zs.avail_out = (uInt)(out_cap - 18 - 8);
+    if (deflate(&zs, Z_FINISH) != Z_STREAM_END) {
+        deflateEnd(&zs);
+        return -1;
+    }
+    size_t comp = (size_t)zs.total_out;
+    deflateEnd(&zs);
+    uint32_t crc = crc32(0L, Z_NULL, 0);
+    crc = crc32(crc, data, (uInt)n);
+#endif
     long bsize = (long)comp + 18 + 8;
     out[16] = (uint8_t)((bsize - 1) & 0xff);
     out[17] = (uint8_t)(((bsize - 1) >> 8) & 0xff);
-    uint32_t crc = libdeflate_crc32(0, data, (size_t)n);
     uint8_t* foot = out + 18 + comp;
     foot[0] = crc & 0xff; foot[1] = (crc >> 8) & 0xff;
     foot[2] = (crc >> 16) & 0xff; foot[3] = (crc >> 24) & 0xff;
@@ -426,19 +448,24 @@ long gio_bgzf_many(
 }
 
 // Inflate pre-walked BGZF blocks (raw deflate payloads) with libdeflate
-// (~3x zlib); the caller (io.bam.bgzf_decompress) parses the BSIZE fields.
-// Returns total bytes written, or -1 on a corrupt block / isize mismatch.
+// (~3x zlib; zlib fallback without it); the caller (io.bam.bgzf_decompress)
+// parses the BSIZE fields. Returns total bytes written, or -1 on a corrupt
+// block / isize mismatch.
 long gio_inflate_blocks(
     const uint8_t* raw, const long* off, const long* clen,
     const long* isize, long n_blocks, uint8_t* out) {
+#ifdef GIO_HAVE_LIBDEFLATE
     static thread_local struct libdeflate_decompressor* d = nullptr;
     if (!d) {
         d = libdeflate_alloc_decompressor();
         if (!d) return -1;
     }
+#endif
     long pos = 0;
     for (long i = 0; i < n_blocks; i++) {
         if (!isize[i]) continue;
+        if (clen[i] < 0 || isize[i] < 0) return -1;  // corrupt block walk
+#ifdef GIO_HAVE_LIBDEFLATE
         size_t actual = 0;
         if (libdeflate_deflate_decompress(
                 d, raw + off[i], (size_t)clen[i], out + pos,
@@ -446,6 +473,20 @@ long gio_inflate_blocks(
             (long)actual != isize[i])
             return -1;
         pos += isize[i];
+#else
+        z_stream zs;
+        memset(&zs, 0, sizeof(zs));
+        if (inflateInit2(&zs, -15) != Z_OK) return -1;
+        zs.next_in = (Bytef*)(raw + off[i]);
+        zs.avail_in = (uInt)clen[i];
+        zs.next_out = out + pos;
+        zs.avail_out = (uInt)isize[i];
+        int rc = inflate(&zs, Z_FINISH);
+        long got = (long)zs.total_out;
+        inflateEnd(&zs);
+        if (rc != Z_STREAM_END || got != isize[i]) return -1;
+        pos += isize[i];
+#endif
     }
     return pos;
 }

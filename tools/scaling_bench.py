@@ -51,8 +51,6 @@ def main() -> int:
 
     jax.config.update("jax_platforms", "cpu")
 
-    import numpy as np
-
     import __graft_entry__ as graft
     from groot_tpu.parallel.device_index import DeviceIndex, make_sharded_align_step
     from groot_tpu.parallel.mesh import make_mesh, pad_batch_for_mesh
@@ -66,7 +64,6 @@ def main() -> int:
     )
 
     t1 = None
-    rows = []
     for n in args.devices:
         mesh = make_mesh(n)
         step = make_sharded_align_step(mesh, dev, threshold=0.99)
@@ -87,7 +84,6 @@ def main() -> int:
         eff = t1 / best
         ncores = os.cpu_count() or 1
         floor = min(1.0, ncores / n)
-        rows.append((n, B, best, eff))
         print(
             f"devices={n:2d} reads/step={B:5d} best step {best*1e3:8.2f} ms "
             f"weak-scaling efficiency {eff:5.2f} "
