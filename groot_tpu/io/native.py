@@ -380,13 +380,19 @@ def window_sketch(codes, lens, k: int, s: int, w: int):
     return out_row[:n], out_col[:n], out_sk[:n].copy(), row_counts
 
 
+PREF_BITS = 20  # top bits of the u64 hash forming the bucket id
+
+
 def _prefix16(sorted_hashes: np.ndarray) -> np.ndarray:
     """Bucket index for a sorted uint64 array: entry p = lower_bound of
-    p << 48 (length 65537, int32)."""
-    bounds = np.arange(65536, dtype=np.uint64) << np.uint64(48)
-    pref = np.empty(65537, np.int32)
-    pref[:65536] = np.searchsorted(sorted_hashes, bounds, side="left")
-    pref[65536] = len(sorted_hashes)
+    p << (64-PREF_BITS) (length 2^PREF_BITS+1, int32). 20 bits puts the
+    arg-annot anchor table at ~1.6 entries/bucket, so the in-bucket binary
+    search all but disappears (the probes were cache misses)."""
+    n_buckets = 1 << PREF_BITS
+    bounds = np.arange(n_buckets, dtype=np.uint64) << np.uint64(64 - PREF_BITS)
+    pref = np.empty(n_buckets + 1, np.int32)
+    pref[:n_buckets] = np.searchsorted(sorted_hashes, bounds, side="left")
+    pref[n_buckets] = len(sorted_hashes)
     return pref
 
 
@@ -400,7 +406,7 @@ def find_matches(aligner, codes, lengths, c_read, c_g):
     if lib is None or not hasattr(lib, "gio_find_matches"):
         return None
     a = aligner
-    if getattr(a, "_anchor_pref", None) is None or len(a._anchor_pref) != 65537:
+    if getattr(a, "_anchor_pref", None) is None or len(a._anchor_pref) != (1 << PREF_BITS) + 1:
         a._anchor_pref = _prefix16(a.anchor_hash)
         a._mini_pref = _prefix16(a.mini_hash)
     codes = np.ascontiguousarray(codes, np.uint8)

@@ -1100,7 +1100,7 @@ static long gio_fm_range(
         for (int grp = 0; grp < 4; grp += 2) {
             const uint64_t q = anch[grp];
             // lower_bound within the key's 16-bit-prefix bucket
-            long lo = anchor_pref[q >> 48], hi = anchor_pref[(q >> 48) + 1];
+            long lo = anchor_pref[q >> 44], hi = anchor_pref[(q >> 44) + 1];  // 20-bit buckets (io.native.PREF_BITS)
             while (lo < hi) {
                 long mid = (lo + hi) >> 1;
                 if (anchor_hash[mid] < q) lo = mid + 1; else hi = mid;
@@ -1165,8 +1165,8 @@ static long gio_fm_range(
                 for (int grp = 0; grp < 4; grp += 2)
                     for (long q = 1; q < k; q++) {
                         const uint64_t key = mq[grp * k + q] ^ gmix;
-                        long lo = mini_pref[key >> 48];
-                        long hi = mini_pref[(key >> 48) + 1];
+                        long lo = mini_pref[key >> 44];
+                        long hi = mini_pref[(key >> 44) + 1];
                         while (lo < hi) {
                             long mid = (lo + hi) >> 1;
                             if (mini_hash[mid] < key) lo = mid + 1;
