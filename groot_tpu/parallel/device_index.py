@@ -199,9 +199,17 @@ def align_step(
     threshold: float,
     full_equality: bool = False,
     cf: int = 1,
+    pair_budget: int = 0,
 ):
     """One fused device step: sketch -> LSH seed -> containment filter ->
     weight scatter (hot loops #2 and #3 plus the weighting).
+
+    The weighting compacts kept (read, window) pairs to `pair_budget` slots
+    (default 8*B) before gathering the [pairs, Cn] contained-node rows — a
+    dense [B, C, Cn] gather is ~0.5GB per step on the full arg-annot index
+    (C=85 candidates, Cn=87 max contained nodes) and dominated step time.
+    Kept pairs beyond the budget are counted in the returned `dropped`
+    scalar (0 in practice: reads average ~3 hits).
 
     With full_equality=True (valid whenever the containment bound forces
     all s slots equal for every read in the batch — groot's standard
@@ -212,7 +220,7 @@ def align_step(
     path, no per-band candidate cap, no f32 boundary loss.
 
     Returns (win_idx [B, C], contain [B, C], node_weights [num_nodes],
-    graph_kmers [num_graphs], mapped [B] bool)."""
+    graph_kmers [num_graphs], mapped [B] bool, dropped i32 scalar)."""
     B, L = codes.shape
     q_hi, q_lo = nthash.khf_sketch(codes, k, s, valid_len=lengths)
     kmer_counts = (lengths - (k - 1)).astype(jnp.int32)
@@ -271,22 +279,32 @@ def align_step(
     win_idx = jnp.where(keep, cands, -1)
 
     # weighting (noAlign semantics: every mapping weights its window's nodes,
-    # graphminion.go:64-72): scatter coeff * kmer_count into node weights
-    kc = kmer_counts[:, None].astype(jnp.float32)
-    nodes = tree["win_nodes"][safe]          # [B, C, Cn]
-    coeff = tree["win_coeff"][safe] * kc[..., None]
-    coeff = jnp.where(keep[..., None] & (nodes >= 0), coeff, 0.0)
+    # graphminion.go:64-72): compact kept (read, window) pairs to a fixed
+    # budget, then scatter coeff * kmer_count into node weights
+    C = cands.shape[1]
+    P_slots = pair_budget if pair_budget > 0 else 8 * B
+    flat_keep = keep.reshape(-1)
+    sel = jnp.argsort(~flat_keep)[:P_slots]  # kept slots first
+    sel_valid = flat_keep[sel]
+    sel_read = sel // C
+    sel_win = jnp.where(sel_valid, cands.reshape(-1)[sel], 0)
+    n_kept = flat_keep.sum().astype(jnp.int32)
+    dropped = jnp.maximum(n_kept - P_slots, 0)
+
+    kc_sel = kmer_counts[sel_read].astype(jnp.float32)       # [P]
+    nodes = tree["win_nodes"][sel_win]                       # [P, Cn]
+    coeff = tree["win_coeff"][sel_win] * kc_sel[:, None]
+    coeff = jnp.where(sel_valid[:, None] & (nodes >= 0), coeff, 0.0)
     node_weights = jnp.zeros(num_nodes, dtype=jnp.float32).at[
         jnp.maximum(nodes, 0).reshape(-1)
     ].add(coeff.reshape(-1))
     # per-graph k-mer totals (multi-node windows only, graph.go:448-449)
-    gmask = keep & tree["win_multi"][safe]
-    gk = jnp.where(gmask, jnp.floor(qs), 0.0)
+    gmask = sel_valid & tree["win_multi"][sel_win]
     graph_kmers = jnp.zeros(num_graphs, dtype=jnp.float32).at[
-        jnp.where(keep, tree["graph_ids"][safe], 0).reshape(-1)
-    ].add(gk.reshape(-1) * gmask.reshape(-1))
+        jnp.where(sel_valid, tree["graph_ids"][sel_win], 0)
+    ].add(jnp.where(gmask, jnp.floor(kc_sel), 0.0))
     mapped = keep.any(axis=1)
-    return win_idx, contain, node_weights, graph_kmers, mapped
+    return win_idx, contain, node_weights, graph_kmers, mapped, dropped
 
 
 def make_sharded_align_step(
@@ -313,13 +331,14 @@ def make_sharded_align_step(
         )
 
         def local_step(tree, codes, lengths):
-            win, con, nw, gk, mapped = align_step(
+            win, con, nw, gk, mapped, dropped = align_step(
                 tree, codes, lengths, **kwargs
             )
             # merge tallies across the data axis (ICI allreduce)
             nw = jax.lax.psum(nw, axis)
             gk = jax.lax.psum(gk, axis)
-            return win, con, nw, gk, mapped
+            dropped = jax.lax.psum(dropped, axis)
+            return win, con, nw, gk, mapped, dropped
 
         rep = P()
         shard = P(axis)
@@ -328,14 +347,14 @@ def make_sharded_align_step(
                 local_step,
                 mesh=mesh,
                 in_specs=(rep, shard, shard),
-                out_specs=(shard, shard, rep, rep, shard),
+                out_specs=(shard, shard, rep, rep, shard, rep),
             )
         except TypeError:  # older API: check_rep for psum-into-replicated
             sm = shard_map(
                 local_step,
                 mesh=mesh,
                 in_specs=(rep, shard, shard),
-                out_specs=(shard, shard, rep, rep, shard),
+                out_specs=(shard, shard, rep, rep, shard, rep),
                 check_rep=False,
             )
         return jax.jit(sm)

@@ -34,9 +34,10 @@ def test_device_weighting_matches_host(tiny):
     """align_step's scatter-add weights == GrootGraph.increment_subpath over
     the same seeded mappings (noAlign semantics)."""
     info, index, dev, codes, lengths = tiny
-    win, contain, node_w, graph_k, mapped = align_step(
+    win, contain, node_w, graph_k, mapped, dropped = align_step(
         dev.tree(), codes, lengths, **_step_kwargs(dev)
     )
+    assert int(dropped) == 0
     win = np.asarray(win)
     node_w = np.asarray(node_w)
 
@@ -72,7 +73,8 @@ def test_shard_count_invariance(tiny):
     mesh = make_mesh(8)
     step = make_sharded_align_step(mesh, dev, threshold=0.99)
     codes_p, lengths_p, B = pad_batch_for_mesh(codes, lengths, 8)
-    win8, c8, nw8, gk8, mapped8 = step(dev.tree(), codes_p, lengths_p)
+    win8, c8, nw8, gk8, mapped8, drop8 = step(dev.tree(), codes_p, lengths_p)
+    assert int(drop8) == 0
     np.testing.assert_allclose(
         np.asarray(nw8), np.asarray(base[2]), rtol=1e-5
     )
@@ -95,7 +97,7 @@ def test_full_equality_device_query_matches_host(tiny):
     from groot_tpu.ops.pallas_sketch import sketch_reads
 
     info, index, dev, codes, lengths = tiny
-    win, contain, node_w, graph_k, mapped = align_step(
+    win, contain, node_w, graph_k, mapped, dropped = align_step(
         dev.tree(), codes, lengths,
         full_equality=True, cf=dev.cf, **_step_kwargs(dev),
     )
