@@ -92,3 +92,19 @@ def test_report_fast_matches_slow(tmp_path):
         native.available = orig
     assert fast == slow
     assert [a.arg for a in fast] == ["argA"]
+
+
+def test_bgzf_decompress_corrupt_bsize_falls_back(tmp_path):
+    """A block whose declared BSIZE is smaller than its own header+footer
+    (negative compressed length) must never reach native code with a bogus
+    length; the gzip fallback ignores the BC subfield and still recovers
+    the stream."""
+    recs = [(0, 5, False) for _ in range(10)]
+    path = _write_bam(recs, tmp_path)
+    raw = open(path, "rb").read()
+    want = gzip.decompress(raw)
+    bad = bytearray(raw)
+    # BSIZE lives at offset 16 of the first block header (BC subfield);
+    # declare a 20-byte block: 20 < 18-byte header + 8-byte footer
+    bad[16:18] = (20 - 1).to_bytes(2, "little")
+    assert bamio.bgzf_decompress(bytes(bad)) == want
