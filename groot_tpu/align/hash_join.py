@@ -832,7 +832,7 @@ class HashAligner:
                 self, codes, lengths, c_read[~c_fb], c_g[~c_fb]
             )
         if res is not None:
-            m_b, m_var, m_row, m_pos, mkey, phf, phr = res
+            m_b, m_var, m_row, m_pos, mkey, phf, phr, ph_row = res
         else:
             active = np.zeros(len(codes), dtype=bool)
             active[c_read[~c_fb]] = True
@@ -867,7 +867,7 @@ class HashAligner:
                 self.node_base, self.node_g, self.g_first_row,
                 self.npos_dense, self.node_len,
                 NODE_SHUFFLES,
-                c_read, codes, lengths, phf, phr,
+                c_read, codes, lengths, ph_row, phf, phr,
                 self.rinv, self.ph, self.ph_start, self.path_len,
                 self.tfree.astype(np.uint8), self.nrow.astype(np.uint8),
                 self.flat_codes, self.flat_start,

@@ -88,6 +88,7 @@ def _load() -> Optional[ctypes.CDLL]:
             _LP, _I32P, _LP, _I32P, _I32P,            # node lookup
             ctypes.c_int,                             # n_shuffles
             _LP, _U8P, _LONG, _LP,                    # c_read codes stride len
+            _I32P,                                    # ph_row remap
             _U64Pc, _U64Pc,                           # phf phr
             _U64Pc, _U64Pc, _LP,                      # rinv ph ph_start
             _I32P, _U8P, _U8P, _U8P, _LP,             # plen tfree nrow flat
@@ -106,6 +107,7 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.gio_find_matches.argtypes = [
             _U8P, _LONG, _LONG, _LP, _LONG,          # reads
             _LONG, _LP, _LP,                          # combos
+            _I32P_,                                   # ph_row remap
             _U64P, _U64P,                             # phf phr outputs
             _U64P, _U64P, _U64P, _LP,                 # rpow rinv ph ph_start
             _I32P_, _LP, _U8P, _U8P, _U8P, _I32P_,    # path data
@@ -275,7 +277,7 @@ def cascade(
     p_seed_grow, p_off, p_span, p_cn_ptr, p_cn_cnt, cn_grow,
     node_base, node_g, g_first_row, npos_dense, node_len,
     n_shuffles: int,
-    c_read, codes, lengths, phf_all, phr_all,
+    c_read, codes, lengths, ph_row, phf_all, phr_all,
     rinv, ph, ph_start, path_len, tfree, nrow, flat_codes, flat_start,
     id_cap: int,
 ):
@@ -320,6 +322,7 @@ def cascade(
         np.ascontiguousarray(c_read, np.int64),
         codes, codes.shape[1],
         np.ascontiguousarray(lengths, np.int64),
+        np.ascontiguousarray(ph_row, np.int32),
         phf_all, phr_all,
         np.ascontiguousarray(rinv, np.uint64),
         np.ascontiguousarray(ph, np.uint64),
@@ -419,14 +422,29 @@ def find_matches(aligner, codes, lengths, c_read, c_g):
     tls = getattr(find_matches, "_tls", None)
     if tls is None:
         tls = find_matches._tls = threading.local()
+    # compact prefix-hash rows: one row per ACTIVE (combo) read, looked up
+    # through ph_row[read]. Sizing by batch ([B, L+2] = 160MB at batch 64k)
+    # cost ~850ms of THP zero-fill page faults on the first batch of every
+    # worker thread — a third of a metagenome-mix pass.
+    if len(c_read):
+        first = np.empty(len(c_read), bool)
+        first[0] = True
+        np.not_equal(c_read[1:], c_read[:-1], out=first[1:])
+        active = c_read[first]
+    else:
+        active = np.asarray(c_read, np.int64)
+    n_act = max(len(active), 1)
     buf = getattr(tls, "buf", None)
-    if buf is None or buf[0].shape != (B, L + 2):
+    if buf is None or buf[0].shape[0] < n_act or buf[0].shape[1] != L + 2:
+        rows_cap = max(1 << (n_act - 1).bit_length(), 1024)
         buf = (
-            np.empty((B, L + 2), np.uint64),
-            np.empty((B, L + 2), np.uint64),
+            np.empty((rows_cap, L + 2), np.uint64),
+            np.empty((rows_cap, L + 2), np.uint64),
         )
         tls.buf = buf
     phf, phr = buf
+    ph_row = np.zeros(B, np.int32)
+    ph_row[active] = np.arange(len(active), dtype=np.int32)
     cap = max(len(c_read) * 64, 1 << 20)
     for _attempt in range(4):
         m_b = np.empty(cap, np.int64)
@@ -440,7 +458,7 @@ def find_matches(aligner, codes, lengths, c_read, c_g):
             len(c_read),
             np.ascontiguousarray(c_read, np.int64),
             np.ascontiguousarray(c_g, np.int64),
-            phf, phr,
+            ph_row, phf, phr,
             a.rpow, a.rinv, a.ph,
             np.ascontiguousarray(a.ph_start, np.int64),
             np.ascontiguousarray(a.path_len, np.int32),
@@ -470,7 +488,7 @@ def find_matches(aligner, codes, lengths, c_read, c_g):
         if n >= 0:
             return (
                 m_b[:n], m_var[:n], m_row[:n], m_pos[:n], m_key[:n],
-                phf, phr,
+                phf, phr, ph_row,
             )
         cap *= 4
     return None

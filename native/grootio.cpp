@@ -582,7 +582,7 @@ static long gio_cascade_range(
     int n_shuffles,
     // lazy stage-3/4 clip probes (see gio_clip_probe)
     const long* c_read, const uint8_t* codes, long stride,
-    const long* lengths,
+    const long* lengths, const int32_t* ph_row,
     const uint64_t* phf_all, const uint64_t* phr_all,
     const uint64_t* rinv, const uint64_t* ph, const long* ph_start,
     const int32_t* path_len, const uint8_t* tfree, const uint8_t* nrow,
@@ -665,8 +665,10 @@ static long gio_cascade_range(
                         const long r1 = g_first_row[g2 + 1];
                         const long b2 = c_read[ci];
                         const long Lr2 = lengths[b2];
-                        const uint64_t* PHf2 = phf_all + b2 * (stride + 2);
-                        const uint64_t* PHr2 = phr_all + b2 * (stride + 2);
+                        const uint64_t* PHf2 =
+                            phf_all + (long)ph_row[b2] * (stride + 2);
+                        const uint64_t* PHr2 =
+                            phr_all + (long)ph_row[b2] * (stride + 2);
                         for (int kind = 1; kind <= 2 && !stage; kind++) {
                             const int v = ori * 3 + kind;
                             for (long row = r0; row < r1; row++) {
@@ -698,8 +700,10 @@ static long gio_cascade_range(
                     const long r1 = g_first_row[g2 + 1];
                     const long b2 = c_read[ci];
                     const long Lr2 = lengths[b2];
-                    const uint64_t* PHf2 = phf_all + b2 * (stride + 2);
-                    const uint64_t* PHr2 = phr_all + b2 * (stride + 2);
+                    const uint64_t* PHf2 =
+                        phf_all + (long)ph_row[b2] * (stride + 2);
+                    const uint64_t* PHr2 =
+                        phr_all + (long)ph_row[b2] * (stride + 2);
                     for (long row = r0; row < r1; row++) {
                         const int32_t spos = npos_dense[sg_base + row];
                         if (spos < 0) continue;
@@ -764,7 +768,7 @@ extern "C" long gio_cascade(
     const int32_t* npos_dense, const int32_t* node_len,
     int n_shuffles,
     const long* c_read, const uint8_t* codes, long stride,
-    const long* lengths,
+    const long* lengths, const int32_t* ph_row,
     const uint64_t* phf_all, const uint64_t* phr_all,
     const uint64_t* rinv, const uint64_t* ph, const long* ph_start,
     const int32_t* path_len, const uint8_t* tfree, const uint8_t* nrow,
@@ -777,7 +781,7 @@ extern "C" long gio_cascade(
             m_row, m_pos, p_seed_grow, p_off, p_span, p_cn_ptr, p_cn_cnt,
             cn_grow, node_base, node_g, g_first_row, npos_dense, node_len,
             n_shuffles,
-            c_read, codes, stride, lengths, phf_all, phr_all,
+            c_read, codes, stride, lengths, ph_row, phf_all, phr_all,
             rinv, ph, ph_start, path_len, tfree, nrow, flat_codes,
             flat_start,
             combo_win, combo_ori, combo_stage, out_combo,
@@ -793,7 +797,7 @@ extern "C" long gio_cascade(
             m_row, m_pos, p_seed_grow, p_off, p_span, p_cn_ptr, p_cn_cnt,
             cn_grow, node_base, node_g, g_first_row, npos_dense, node_len,
             n_shuffles,
-            c_read, codes, stride, lengths, phf_all, phr_all,
+            c_read, codes, stride, lengths, ph_row, phf_all, phr_all,
             rinv, ph, ph_start, path_len, tfree, nrow, flat_codes,
             flat_start,
             combo_win, combo_ori, combo_stage, t_combo, t_row,
@@ -804,7 +808,7 @@ extern "C" long gio_cascade(
         m_row, m_pos, p_seed_grow, p_off, p_span, p_cn_ptr, p_cn_cnt,
         cn_grow, node_base, node_g, g_first_row, npos_dense, node_len,
         n_shuffles,
-        c_read, codes, stride, lengths, phf_all, phr_all,
+        c_read, codes, stride, lengths, ph_row, phf_all, phr_all,
         rinv, ph, ph_start, path_len, tfree, nrow, flat_codes,
         flat_start,
         combo_win, combo_ori, combo_stage, out_combo, out_row,
@@ -1028,9 +1032,10 @@ static long gio_fm_range(
     long k,
     // combos sorted by (read, graph); only non-fallback combos passed
     long ci0, long ci1, const long* c_read, const long* c_g,
-    // per-read prefix-hash outputs [B, stride+2], consumed by the
-    // cascade's lazy stage-3/4 clip probes (only combo reads are filled)
-    uint64_t* phf_all, uint64_t* phr_all,
+    // per-read COMPACT prefix-hash outputs [n_active, stride+2] indexed
+    // via ph_row[read] (row per active read, io.native.find_matches);
+    // consumed by the cascade's lazy stage-3/4 clip probes
+    const int32_t* ph_row, uint64_t* phf_all, uint64_t* phr_all,
     // hash tables / path data
     const uint64_t* rpow, const uint64_t* rinv,
     const uint64_t* ph, const long* ph_start,
@@ -1075,8 +1080,8 @@ static long gio_fm_range(
         while (ce < ci1 && c_read[ce] == b) ce++;
         const long Lr = lengths[b];
         const uint8_t* cs = codes + b * stride;
-        uint64_t* PHf = phf_all + b * strideP;
-        uint64_t* PHr = phr_all + b * strideP;
+        uint64_t* PHf = phf_all + (long)ph_row[b] * strideP;
+        uint64_t* PHr = phr_all + (long)ph_row[b] * strideP;
         for (long i = 0; i < Lr; i++) rc[i] = rc_of[cs[Lr - 1 - i]];
         PHf[0] = 0; PHr[0] = 0;
         for (long i = 0; i < Lr; i++) {
@@ -1279,7 +1284,7 @@ extern "C" long gio_find_matches(
     const uint8_t* codes, long B, long stride, const long* lengths,
     long k,
     long nc, const long* c_read, const long* c_g,
-    uint64_t* phf_all, uint64_t* phr_all,
+    const int32_t* ph_row, uint64_t* phf_all, uint64_t* phr_all,
     const uint64_t* rpow, const uint64_t* rinv,
     const uint64_t* ph, const long* ph_start,
     const int32_t* path_len, const long* flat_start,
@@ -1303,7 +1308,7 @@ extern "C" long gio_find_matches(
     if (nc < 512 || mid <= 0 || mid >= nc)
         return gio_fm_range(
             codes, stride, lengths, k, 0, nc, c_read, c_g,
-            phf_all, phr_all,
+            ph_row, phf_all, phr_all,
             rpow, rinv, ph, ph_start, path_len, flat_start, flat_codes, tfree, nrow,
             path_graph, n_anchor, anchor_hash, anchor_row, anchor_pos,
             n_mini, mini_hash, mini_row, mini_pos, mini_typ, anchor_pref,
@@ -1318,7 +1323,7 @@ extern "C" long gio_find_matches(
     std::thread th([&]() {
         n2 = gio_fm_range(
             codes, stride, lengths, k, mid, nc, c_read, c_g,
-            phf_all, phr_all,
+            ph_row, phf_all, phr_all,
             rpow, rinv, ph, ph_start, path_len, flat_start, flat_codes, tfree, nrow,
             path_graph, n_anchor, anchor_hash, anchor_row, anchor_pos,
             n_mini, mini_hash, mini_row, mini_pos, mini_typ, anchor_pref,
@@ -1327,7 +1332,7 @@ extern "C" long gio_find_matches(
     });
     long n1 = gio_fm_range(
         codes, stride, lengths, k, 0, mid, c_read, c_g,
-        phf_all, phr_all,
+        ph_row, phf_all, phr_all,
         rpow, rinv, ph,
         ph_start, path_len, flat_start, flat_codes, tfree, nrow, path_graph,
         n_anchor, anchor_hash, anchor_row, anchor_pos, n_mini, mini_hash,
