@@ -196,14 +196,15 @@ def main() -> int:
     if not args.noAlign:
         try:
             mix = ensure_mix()
-            # best-of-3: the 2-core bench host sees multi-x ambient
+            # best-of-5: the 2-core bench host sees multi-x ambient
             # contention; the recorded metric should reflect the machine,
-            # not whoever else is running. Batch 64k measures ~15% over 8k
-            # on this workload (few hits -> per-batch overhead dominates);
-            # the ARG-dense run above keeps the smaller batch, which
-            # pipelines better when every read aligns.
+            # not whoever else is running (each pass is ~2s). Batch 64k
+            # measures ~15% over 8k on this workload (few hits ->
+            # per-batch overhead dominates); the ARG-dense run above keeps
+            # the smaller batch, which pipelines better when every read
+            # aligns.
             mix_batch = 65536 if args.batchSize is None else args.batchSize
-            for _pass in range(3):
+            for _pass in range(5):
                 refs = bamio.build_references(info.store)
                 with open(os.path.join(CACHE, "mix.bam"), "wb") as fh2:
                     w2 = bamio.BamWriter(fh2, refs)
