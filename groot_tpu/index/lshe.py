@@ -241,6 +241,30 @@ class ContainmentIndex:
                 hits[g].sort(key=lambda k: (k.node, k.offset))
         return out
 
+    def full_equality_applies(self, query_sizes, threshold: float) -> bool:
+        """True when the containment bound forces ALL s slots equal for
+        every read in the batch (the query_batch_np fast-path condition and
+        the validity condition for the slot-0 sketch prescreen)."""
+        qs = np.asarray(query_sizes, np.float64)
+        if not qs.size:
+            return False
+        d = float(self.num_window_kmers)
+        s = self.sketch_size
+        bound = s * threshold * qs / (qs + d - threshold * qs)
+        return bool(np.all(bound >= s - 1))
+
+    def slot0_prescreen(self):
+        """(sorted unique slot-0 window hashes, 20-bit prefix buckets) for
+        the native sketcher's full-equality prescreen (io.native.sketch).
+        Built once per index."""
+        t = getattr(self, "_slot0_tab", None)
+        if t is None:
+            from ..io.native import _prefix16
+
+            s0 = np.unique(np.ascontiguousarray(self.sketches[:, 0]))
+            t = self._slot0_tab = (s0, _prefix16(s0))
+        return t
+
     def _build_full_table(self) -> None:
         """Full-sketch signature table for the all-slot-equality fast path
         (built once; call before sharing the index across threads)."""

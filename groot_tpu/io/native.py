@@ -99,6 +99,9 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.gio_sketch.restype = None
         lib.gio_sketch.argtypes = [
             _U8P, _LONG, _LONG, _LP, _LONG, _LONG, _U64P,
+            _LONG, _U64P, np.ctypeslib.ndpointer(
+                dtype=np.int32, flags="C_CONTIGUOUS"
+            ),
         ]
         _I64P = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
         _I8P_ = np.ctypeslib.ndpointer(dtype=np.int8, flags="C_CONTIGUOUS")
@@ -345,17 +348,31 @@ def cascade(
     )
 
 
-def sketch(codes, valid_len, k: int, s: int):
+_EMPTY_U64 = np.empty(0, np.uint64)
+_EMPTY_I32 = np.empty(1, np.int32)
+
+
+def sketch(codes, valid_len, k: int, s: int, prescreen=None):
     """Native canonical ntHash KHF sketching -> u64 [B, s]; None if the
-    library is unavailable."""
+    library is unavailable. `prescreen` = (s0_sorted u64, s0_pref i32)
+    from ContainmentIndex.slot0_prescreen(): valid ONLY when the query
+    will require all-slot equality (t=0.99 full-equality mode) — reads
+    whose slot-0 min-hash is absent from the index skip the other s-1
+    multihash passes and get sentinel slots."""
     lib = _load()
     if lib is None or not hasattr(lib, "gio_sketch"):
         return None
     codes = np.ascontiguousarray(codes, np.uint8)
     B, L = codes.shape
     out = np.empty((B, s), np.uint64)
+    if prescreen is not None:
+        s0_sorted, s0_pref = prescreen
+        n_s0 = len(s0_sorted)
+    else:
+        s0_sorted, s0_pref, n_s0 = _EMPTY_U64, _EMPTY_I32, 0
     lib.gio_sketch(
-        codes, B, L, np.ascontiguousarray(valid_len, np.int64), k, s, out
+        codes, B, L, np.ascontiguousarray(valid_len, np.int64), k, s, out,
+        n_s0, s0_sorted, s0_pref,
     )
     return out
 

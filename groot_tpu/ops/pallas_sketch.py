@@ -195,7 +195,7 @@ def _kernel(
         out_lo_ref[:, slot : slot + 1] = mlo
 
 
-def sketch_reads(codes, valid_len, k: int, s: int):
+def sketch_reads(codes, valid_len, k: int, s: int, prescreen=None):
     """Batch sketching with automatic backend dispatch. Default is the
     batched host path (numpy prefix-XOR scans, ~0.1s per 4k reads): the
     single-chip read stream is host-fed anyway, so a host sketch removes
@@ -211,7 +211,10 @@ def sketch_reads(codes, valid_len, k: int, s: int):
     if not (on_tpu and _os.environ.get("GROOT_DEVICE_SKETCH")):
         from ..io import native as _native
 
-        u = _native.sketch(_np.asarray(codes), _np.asarray(valid_len), k, s)
+        u = _native.sketch(
+            _np.asarray(codes), _np.asarray(valid_len), k, s,
+            prescreen=prescreen,
+        )
         if u is None:
             u = nthash.khf_sketch_np_batch(
                 _np.asarray(codes), _np.asarray(valid_len), k, s

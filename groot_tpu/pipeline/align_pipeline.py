@@ -596,8 +596,17 @@ def _process_batch(
     from ..ops.pallas_sketch import sketch_reads
 
     t0 = _time.time()
-    hi, lo = sketch_reads(batch.codes, batch.lengths, k, s)
     kmer_counts = (batch.lengths - k + 1).astype(np.int32)
+    # slot-0 prescreen: when the query will demand all-slot equality
+    # (t=0.99 full-equality mode), reads whose slot-0 min-hash misses the
+    # index can skip the other s-1 multihash slots -- ~99% of a typical
+    # metagenome never seeds
+    prescreen = None
+    if info.db.full_equality_applies(
+        kmer_counts[: batch.n_valid], t
+    ) and not os.environ.get("GROOT_NO_PRESCREEN"):
+        prescreen = info.db.slot0_prescreen()
+    hi, lo = sketch_reads(batch.codes, batch.lengths, k, s, prescreen)
 
     if tables is not None:
         # vectorized flat-hit path: one D2H sync for the hit list, then all

@@ -924,7 +924,13 @@ static inline uint64_t rol64(uint64_t x, unsigned r) {
 
 static void gio_sketch_range(
     const uint8_t* codes, long b0, long b1, long stride, const long* vlen,
-    long k, long s, uint64_t* out) {
+    long k, long s, uint64_t* out,
+    // optional slot-0 prescreen (full-equality queries only, t=0.99): if
+    // the read's slot-0 min-hash is not among the index windows' slot-0
+    // values, no window can match all s slots — skip the other s-1
+    // multihash passes and emit sentinel slots (the query's exact
+    // verification keeps correctness regardless)
+    long n_s0, const uint64_t* s0_sorted, const int32_t* s0_pref) {
     static uint64_t ROTF[5][64], ROTR[5][64];
     static bool init = false;
     if (!init) {
@@ -970,6 +976,18 @@ static void gio_sketch_range(
             for (long i = 0; i < nk; i++) mn = C[i] < mn ? C[i] : mn;
             o[0] = mn;
         }
+        if (n_s0) {
+            const uint64_t q = o[0];
+            long lo = s0_pref[q >> 44], hi = s0_pref[(q >> 44) + 1];
+            while (lo < hi) {
+                long mid = (lo + hi) >> 1;
+                if (s0_sorted[mid] < q) lo = mid + 1; else hi = mid;
+            }
+            if (lo >= n_s0 || s0_sorted[lo] != q) {
+                for (long m = 1; m < s; m++) o[m] = FULL;
+                continue;
+            }
+        }
         for (long m = 1; m < s; m++) {
             const uint64_t mult = (uint64_t)m ^ kseed;
             uint64_t mn = FULL;
@@ -989,19 +1007,24 @@ static void gio_sketch_range(
 // Threaded front end: reads are independent; halves sketch on two cores.
 extern "C" void gio_sketch(
     const uint8_t* codes, long B, long stride, const long* vlen,
-    long k, long s, uint64_t* out) {
+    long k, long s, uint64_t* out,
+    long n_s0, const uint64_t* s0_sorted, const int32_t* s0_pref) {
     if (B < 64) {
-        gio_sketch_range(codes, 0, B, stride, vlen, k, s, out);
+        gio_sketch_range(codes, 0, B, stride, vlen, k, s, out,
+                         n_s0, s0_sorted, s0_pref);
         return;
     }
     // empty range forces the one-time ROTF/ROTR table init on THIS thread
     // before both workers read it
-    gio_sketch_range(codes, 0, 0, stride, vlen, k, s, out);
+    gio_sketch_range(codes, 0, 0, stride, vlen, k, s, out, 0, s0_sorted,
+                     s0_pref);
     const long mid = B / 2;
     std::thread th([&]() {
-        gio_sketch_range(codes, mid, B, stride, vlen, k, s, out);
+        gio_sketch_range(codes, mid, B, stride, vlen, k, s, out,
+                         n_s0, s0_sorted, s0_pref);
     });
-    gio_sketch_range(codes, 0, mid, stride, vlen, k, s, out);
+    gio_sketch_range(codes, 0, mid, stride, vlen, k, s, out,
+                     n_s0, s0_sorted, s0_pref);
     th.join();
 }
 

@@ -124,3 +124,31 @@ def test_native_window_sketch_matches_golden():
         np.testing.assert_array_equal(cols[base : base + n], exp_cols)
         np.testing.assert_array_equal(sk[base : base + n], np.stack(exp_sks))
         base += n
+
+
+def test_sketch_slot0_prescreen_exact():
+    """With a slot-0 prescreen, reads whose slot-0 min-hash is present get
+    their FULL sketch bit-identically; absent reads get sentinel slots
+    (which can never pass an all-slot-equality query)."""
+    import numpy as np
+
+    from groot_tpu.io import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(5)
+    codes = rng.integers(0, 4, (128, 160), np.uint8)
+    vl = np.full(128, 151, np.int64)
+    full = native.sketch(codes, vl, 31, 16)
+    s0 = np.unique(full[::3, 0])  # every third read passes
+    pref = native._prefix16(s0)
+    pre = native.sketch(codes, vl, 31, 16, prescreen=(s0, pref))
+    passed = np.isin(full[:, 0], s0)
+    assert passed.sum() >= 128 // 3
+    assert (pre[passed] == full[passed]).all()
+    assert (pre[:, 0] == full[:, 0]).all()
+    assert (
+        pre[~passed][:, 1:] == np.uint64(0xFFFFFFFFFFFFFFFF)
+    ).all()
