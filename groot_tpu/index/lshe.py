@@ -292,6 +292,8 @@ class ContainmentIndex:
         query_sizes: np.ndarray,
         threshold: float,
         force_banded: bool = False,
+        q64: Optional[np.ndarray] = None,
+        prescreened: bool = False,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Flat-array variant of query_batch: returns (read_rows, window_ids)
         as numpy int arrays (unsorted) — the batched pipeline does all
@@ -301,17 +303,28 @@ class ContainmentIndex:
         and unlike the fixed-shape device kernel the host path has no
         per-band candidate cap — exactly the reference's semantics
         (lshensemble returns every bucket collision, lshe.go:157-171).
-        GROOT_DEVICE_QUERY=1 forces the device kernel."""
+        GROOT_DEVICE_QUERY=1 forces the device kernel.
+
+        ``q64``: the sketcher's native u64 [B, s] output may be passed
+        instead of (sketch_hi, sketch_lo) — it skips the hi/lo split and
+        recombination passes entirely. ``prescreened`` marks a batch
+        sketched with the slot-0 prescreen (sentinel rows skip lookup)."""
         if self._tables is None:
             self.prepare()
         if os.environ.get("GROOT_DEVICE_QUERY"):
+            if sketch_hi is None:
+                sketch_hi = (q64 >> np.uint64(32)).astype(np.uint32)
+                sketch_lo = (q64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
             return self._query_batch_np_dev(
                 sketch_hi, sketch_lo, query_sizes, threshold
             )
-        B = int(sketch_hi.shape[0])
-        hi = np.asarray(sketch_hi)
-        lo = np.asarray(sketch_lo)
-        q64 = (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(np.uint64)
+        if q64 is not None:
+            hi = lo = None
+            B = int(q64.shape[0])
+        else:
+            hi = np.asarray(sketch_hi)
+            lo = np.asarray(sketch_lo)
+            B = int(hi.shape[0])
 
         # Full-equality fast path: containment = j(q+d)/((1+j)q) with
         # j = eq/s, so `contain > t` needs eq > s*t*q/(q+d-t*q). Whenever
@@ -330,11 +343,22 @@ class ContainmentIndex:
                 from ..io import native
 
                 fn = self._full_native
-                res = native.lsh_query_full(
-                    hi, lo, qs_all, d, threshold, fn[0], fn[1], fn[2], fn[3]
-                )
+                if q64 is not None:
+                    res = native.lsh_query_full64(
+                        q64, qs_all, d, threshold,
+                        fn[0], fn[1], fn[2], fn[3], prescreened,
+                    )
+                else:
+                    res = native.lsh_query_full(
+                        hi, lo, qs_all, d, threshold,
+                        fn[0], fn[1], fn[2], fn[3],
+                    )
                 if res is not None:
                     return res
+            if q64 is None:
+                q64 = (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(
+                    np.uint64
+                )
             qsig = _mix_bands_np(q64, s)[:, 0]
             lo_i = np.searchsorted(fsig, qsig, side="left")
             hi_i = np.searchsorted(fsig, qsig, side="right")
@@ -353,6 +377,10 @@ class ContainmentIndex:
             keep = full_eq & (contain > threshold)
             return rows[keep], cands[keep]
 
+        if q64 is None:
+            q64 = (hi.astype(np.uint64) << np.uint64(32)) | lo.astype(
+                np.uint64
+            )
         K = self.optimal_k(int(np.min(query_sizes)) if B else 1, threshold)
         t = self._tables[K]
         sigs = _mix_bands_np(q64, K)  # [B, L]

@@ -149,6 +149,14 @@ def _load() -> Optional[ctypes.CDLL]:
             _U32P_, _I32Pq, _I64Pq, _U64P_,
             _LP, _LP, _LONG,
         ]
+        lib.gio_lsh_query_full64.restype = _LONG
+        lib.gio_lsh_query_full64.argtypes = [
+            _U64P_, _LONG, _LONG,
+            _F64P, ctypes.c_double, ctypes.c_double,
+            _U32P_, _I32Pq, _I64Pq, _U64P_,
+            _LONG,
+            _LP, _LP, _LONG,
+        ]
         lib.gio_weight_pairs.restype = None
         lib.gio_weight_pairs.argtypes = [
             _LONG, _LP, _F64P,
@@ -585,6 +593,34 @@ def lsh_query_full(hi, lo, kc, d, threshold, fsig, fpref, forder, sketches):
             np.ascontiguousarray(kc, np.float64), float(d), float(threshold),
             fsig, fpref, forder,
             np.ascontiguousarray(sketches, np.uint64),
+            rows, wins, cap,
+        )
+        if n >= 0:
+            return rows[:n], wins[:n]
+        cap *= 8
+    return None
+
+
+def lsh_query_full64(
+    q64, kc, d, threshold, fsig, fpref, forder, sketches, prescreened
+):
+    """Native full-equality LSH query on u64 sketches (no hi/lo split);
+    returns (rows, wins) or None. `prescreened` marks batches sketched
+    with the slot-0 prescreen, whose sentinel rows can skip the lookup."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "gio_lsh_query_full64"):
+        return None
+    B, s = q64.shape
+    cap = max(B * 8, 4096)
+    for _ in range(4):
+        rows = np.empty(cap, np.int64)
+        wins = np.empty(cap, np.int64)
+        n = lib.gio_lsh_query_full64(
+            np.ascontiguousarray(q64, np.uint64), B, s,
+            np.ascontiguousarray(kc, np.float64), float(d), float(threshold),
+            fsig, fpref, forder,
+            np.ascontiguousarray(sketches, np.uint64),
+            1 if prescreened else 0,
             rows, wins, cap,
         )
         if n >= 0:

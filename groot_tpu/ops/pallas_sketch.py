@@ -236,6 +236,26 @@ def sketch_reads(codes, valid_len, k: int, s: int, prescreen=None):
     return hi[:B], lo[:B]
 
 
+def sketch_reads_u64(codes, valid_len, k: int, s: int, prescreen=None):
+    """Batch sketching straight to the native sketcher's u64 [B, s] output
+    (None when the native library is unavailable or device sketching was
+    forced — callers fall back to sketch_reads). Skips the hi/lo split
+    that sketch_reads performs for the device-facing API; pair with
+    query_batch_np(q64=...) to avoid the recombination pass too."""
+    import os as _os
+
+    import numpy as _np
+
+    on_tpu = jax.default_backend() not in ("cpu", "METAL")
+    if on_tpu and _os.environ.get("GROOT_DEVICE_SKETCH"):
+        return None
+    from ..io import native as _native
+
+    return _native.sketch(
+        _np.asarray(codes), _np.asarray(valid_len), k, s, prescreen=prescreen
+    )
+
+
 @partial(jax.jit, static_argnames=("k", "s", "interpret"))
 def khf_sketch_pallas(codes, valid_len, k: int, s: int, interpret: bool = False):
     """codes u8 [B, L], valid_len i32 [B] -> (hi, lo) uint32 [B, s]."""

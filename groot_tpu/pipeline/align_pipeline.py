@@ -593,7 +593,7 @@ def _process_batch(
         raise ValueError(
             f"sequence length ({short}) is short than k-mer length ({k})"
         )
-    from ..ops.pallas_sketch import sketch_reads
+    from ..ops.pallas_sketch import sketch_reads, sketch_reads_u64
 
     t0 = _time.time()
     kmer_counts = (batch.lengths - k + 1).astype(np.int32)
@@ -606,14 +606,23 @@ def _process_batch(
         kmer_counts[: batch.n_valid], t
     ) and not os.environ.get("GROOT_NO_PRESCREEN"):
         prescreen = info.db.slot0_prescreen()
-    hi, lo = sketch_reads(batch.codes, batch.lengths, k, s, prescreen)
 
     if tables is not None:
         # vectorized flat-hit path: one D2H sync for the hit list, then all
         # per-hit bookkeeping is numpy (batch_host) + the device cascade
         from ..align.batch_host import sort_hits
 
-        rows, wins = info.db.query_batch_np(hi, lo, kmer_counts, t)
+        # native u64 fast path: sketch + query share the u64 sketches
+        # with no hi/lo split or recombination passes
+        u64 = sketch_reads_u64(batch.codes, batch.lengths, k, s, prescreen)
+        if u64 is not None:
+            rows, wins = info.db.query_batch_np(
+                None, None, kmer_counts, t,
+                q64=u64, prescreened=prescreen is not None,
+            )
+        else:
+            hi, lo = sketch_reads(batch.codes, batch.lengths, k, s, prescreen)
+            rows, wins = info.db.query_batch_np(hi, lo, kmer_counts, t)
         keep = rows < batch.n_valid
         rows, wins = rows[keep], wins[keep]
         stats.received += batch.n_valid
@@ -652,6 +661,7 @@ def _process_batch(
 
     # hi/lo stay on device: query_batch feeds them straight into the jitted
     # LSH lookup (a np.asarray here would bounce them D2H then H2D)
+    hi, lo = sketch_reads(batch.codes, batch.lengths, k, s, prescreen)
     results = info.db.query_batch(hi, lo, kmer_counts, t)
     t1 = _time.time()
 

@@ -224,6 +224,53 @@ extern "C" long gio_lsh_query_full32(
     return n_out;
 }
 
+// gio_lsh_query_full64: gio_lsh_query_full32 taking the sketcher's native
+// u64 [B, s] output directly (no hi/lo split round-trip). When
+// `prescreened` is set the batch was sketched with the slot-0 prescreen
+// (io.native.sketch): rows whose slots 1..s-1 are the all-ones sentinel
+// were proven unable to match all s slots, so they skip the signature
+// mix + lookup entirely (~99% of a typical metagenome).
+extern "C" long gio_lsh_query_full64(
+    const uint64_t* q, long B, long s,
+    const double* kc, double d, double threshold,
+    const uint32_t* fsig_sorted, const int32_t* fpref,
+    const int64_t* forder, const uint64_t* sketches,
+    long prescreened,
+    long* out_rows, long* out_wins, long cap) {
+    const uint64_t FULL = ~0ULL;
+    long n_out = 0;
+    for (long b = 0; b < B; b++) {
+        const uint64_t* qq = q + b * s;
+        if (prescreened && s > 1 && qq[1] == FULL) continue;
+        const double qk = kc[b];
+        if (!((qk + d) / (2.0 * qk) > threshold)) continue;
+        uint32_t sig = 2166136261u;
+        for (long j = 0; j < s; j++) {
+            sig = (sig ^ (uint32_t)qq[j]) * 16777619u;
+            sig = (sig ^ (uint32_t)(qq[j] >> 32)) * 16777619u;
+        }
+        long p0 = fpref[sig >> 16], p1 = fpref[(sig >> 16) + 1];
+        while (p0 < p1) {
+            long mid = (p0 + p1) >> 1;
+            if (fsig_sorted[mid] < sig) p0 = mid + 1; else p1 = mid;
+        }
+        for (long i = p0;
+             i < fpref[(sig >> 16) + 1] && fsig_sorted[i] == sig; i++) {
+            const long win = forder[i];
+            const uint64_t* sk = sketches + win * s;
+            bool eq = true;
+            for (long j = 0; j < s; j++)
+                if (sk[j] != qq[j]) { eq = false; break; }
+            if (!eq) continue;
+            if (n_out >= cap) return -1;
+            out_rows[n_out] = b;
+            out_wins[n_out] = win;
+            n_out++;
+        }
+    }
+    return n_out;
+}
+
 // ---------------------------------------------------------------------------
 // gio_weight_pairs: the increment_subpath weight replay
 // (align/batch_host.WeightAccumulator.add_pairs): per (window, kmer_count)

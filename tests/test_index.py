@@ -208,6 +208,23 @@ def test_full_equality_query_fast_path_matches_banded():
     assert k1 == k2
     assert len(k1) > 0
 
+    # the u64 entry (no hi/lo split) must return the same hit set, with
+    # and without the prescreened flag; sentinel rows (slots 1.. all-ones,
+    # as emitted by the slot-0 prescreen for reads that cannot seed) must
+    # be skipped when prescreened=True
+    r3, w3 = idx.query_batch_np(None, None, sizes, 0.99, q64=q)
+    assert sorted(zip(r3.tolist(), w3.tolist())) == k1
+    r4, w4 = idx.query_batch_np(
+        None, None, sizes, 0.99, q64=q, prescreened=True
+    )
+    assert sorted(zip(r4.tolist(), w4.tolist())) == k1
+    q_sent = q.copy()
+    q_sent[:, 1:] = np.uint64(0xFFFFFFFFFFFFFFFF)
+    r5, _w5 = idx.query_batch_np(
+        None, None, sizes, 0.99, q64=q_sent, prescreened=True
+    )
+    assert len(r5) == 0
+
 
 def test_blocked_device_sketching_stitches_runs(monkeypatch):
     """The GROOT_DEVICE_SKETCH path splits rows into 1024-window column
