@@ -255,11 +255,17 @@ def _parse_fastq_np(buf: bytes, max_reads: int):
 
 
 def encode_batch(
-    buf: bytes, seq_off: np.ndarray, seq_len: np.ndarray, stride: int
+    buf: bytes, seq_off: np.ndarray, seq_len: np.ndarray, stride: int,
+    out: Optional[np.ndarray] = None,
 ) -> np.ndarray:
-    """Encode sequences into a padded uint8 code matrix [n, stride]."""
+    """Encode sequences into a padded uint8 code matrix [n, stride].
+    ``out`` (a C-contiguous uint8 [n, stride] view, e.g. a row slice of a
+    preallocated batch matrix) avoids the allocate-then-concatenate copy
+    when a batch spans several scanner segments."""
     n = len(seq_off)
-    out = np.empty((n, stride), np.uint8)
+    if out is None:
+        out = np.empty((n, stride), np.uint8)
+    assert out.shape == (n, stride) and out.flags["C_CONTIGUOUS"]
     lib = _load()
     if lib is not None:
         lib.gio_encode(

@@ -186,9 +186,13 @@ def _batch_from_segs(segs) -> ReadBatch:
 
     max_len = max(int(s[1][3].max()) for s in segs)
     L = int(math.ceil(max(max_len, 32) / 32) * 32)
-    codes = np.concatenate(
-        [native.encode_batch(b, a[2], a[3], L) for b, a in segs]
-    )
+    n_total = sum(len(a[2]) for _, a in segs)
+    codes = np.empty((n_total, L), np.uint8)
+    base = 0
+    for b, a in segs:  # encode straight into the batch matrix (no concat)
+        n_seg = len(a[2])
+        native.encode_batch(b, a[2], a[3], L, out=codes[base : base + n_seg])
+        base += n_seg
     lengths = np.concatenate([a[3] for _, a in segs]).astype(np.int32)
     return ReadBatch(codes=codes, lengths=lengths, segs=segs)
 
