@@ -196,7 +196,7 @@ def main() -> int:
     if not args.noAlign:
         try:
             mix = ensure_mix()
-            # best-of-5: the 2-core bench host sees multi-x ambient
+            # best-of-7: the 2-core bench host sees multi-x ambient
             # contention; the recorded metric should reflect the machine,
             # not whoever else is running (each pass is ~2s). Batch 64k
             # measures ~15% over 8k on this workload (few hits ->
@@ -204,7 +204,7 @@ def main() -> int:
             # the smaller batch, which pipelines better when every read
             # aligns.
             mix_batch = 65536 if args.batchSize is None else args.batchSize
-            for _pass in range(5):
+            for _pass in range(7):
                 refs = bamio.build_references(info.store)
                 with open(os.path.join(CACHE, "mix.bam"), "wb") as fh2:
                     w2 = bamio.BamWriter(fh2, refs)
