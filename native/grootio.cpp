@@ -20,6 +20,9 @@
 #include <cstdint>
 #include <cstring>
 #include <zlib.h>
+#if defined(__AVX512BW__)
+#include <immintrin.h>
+#endif
 #ifdef GIO_HAVE_LIBDEFLATE
 #include <libdeflate.h>
 #endif
@@ -46,6 +49,37 @@ static void init_code() {
 // id/seq/qual arrays receive (offset, length) pairs per record; the id
 // INCLUDES the leading '@'. Returns -1 on malformed input (ID line not
 // starting with '@').
+// Collect newline offsets from buf[*scan_io..n) into nls[0..cap); returns
+// the count and advances *scan_io past the last byte examined. AVX-512BW
+// hosts compare 64 bytes per iteration (a ~65-byte FASTQ line costs one
+// block compare instead of a full memchr call); others fall back to
+// memchr per line.
+static int gio_scan_newlines(const char* buf, long n, long* scan_io,
+                             long* nls, int cap) {
+    int cnt = 0;
+    long scan = *scan_io;
+#if defined(__AVX512BW__)
+    const __m512i NL = _mm512_set1_epi8('\n');
+    while (cnt <= cap - 64 && scan + 64 <= n) {
+        uint64_t m = _mm512_cmpeq_epi8_mask(
+            _mm512_loadu_si512((const void*)(buf + scan)), NL);
+        while (m) {
+            nls[cnt++] = scan + (long)__builtin_ctzll(m);
+            m &= m - 1;
+        }
+        scan += 64;
+    }
+#endif
+    while (cnt < cap && scan < n) {
+        const char* nl = (const char*)memchr(buf + scan, '\n', n - scan);
+        if (!nl) { scan = n; break; }
+        nls[cnt++] = nl - buf;
+        scan = (nl - buf) + 1;
+    }
+    *scan_io = scan;
+    return cnt;
+}
+
 long gio_parse_fastq(const char* buf, long n, long max_reads,
                      long* id_off, long* id_len,
                      long* seq_off, long* seq_len,
@@ -54,33 +88,33 @@ long gio_parse_fastq(const char* buf, long n, long max_reads,
     long count = 0;
     long pos = 0;
     *consumed = 0;
+    constexpr int CAPN = 4096;
+    long nls[CAPN];  // pending line-end offsets (32KB stack window)
+    int nl_cnt = 0, nl_take = 0;
+    long scan = 0;  // next unscanned byte
     while (count < max_reads) {
-        // line 1: id
-        if (pos >= n) break;
-        long l1 = pos;
-        const char* nl = (const char*)memchr(buf + pos, '\n', n - pos);
-        if (!nl) break;
-        long l1e = nl - buf;
-        pos = l1e + 1;
-        // line 2: seq
-        long l2 = pos;
-        nl = (const char*)memchr(buf + pos, '\n', n - pos);
-        if (!nl) break;
-        long l2e = nl - buf;
-        pos = l2e + 1;
-        // line 3: plus
-        nl = (const char*)memchr(buf + pos, '\n', n - pos);
-        if (!nl) break;
-        pos = (nl - buf) + 1;
-        // line 4: qual
-        long l4 = pos;
-        nl = (const char*)memchr(buf + pos, '\n', n - pos);
-        if (!nl) break;
-        long l4e = nl - buf;
-        pos = l4e + 1;
-
+        if (nl_cnt - nl_take < 4) {
+            if (nl_take) {  // compact the unconsumed tail
+                for (int i = nl_take; i < nl_cnt; i++)
+                    nls[i - nl_take] = nls[i];
+                nl_cnt -= nl_take;
+                nl_take = 0;
+            }
+            int got =
+                gio_scan_newlines(buf, n, &scan, nls + nl_cnt, CAPN - nl_cnt);
+            nl_cnt += got;
+            if (nl_cnt - nl_take < 4) {
+                if (got == 0) break;  // buffer exhausted mid-record
+                continue;
+            }
+        }
+        const long l1 = pos, l1e0 = nls[nl_take];
+        const long l2 = l1e0 + 1, l2e0 = nls[nl_take + 1];
+        const long l4 = nls[nl_take + 2] + 1, l4e0 = nls[nl_take + 3];
+        nl_take += 4;
+        pos = l4e0 + 1;
         if (buf[l1] != '@') return -1;
-        // trim \r
+        long l1e = l1e0, l2e = l2e0, l4e = l4e0;
         if (l1e > l1 && buf[l1e - 1] == '\r') l1e--;
         if (l2e > l2 && buf[l2e - 1] == '\r') l2e--;
         if (l4e > l4 && buf[l4e - 1] == '\r') l4e--;
