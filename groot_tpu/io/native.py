@@ -198,6 +198,17 @@ def available() -> bool:
     return _load() is not None
 
 
+def _buf_ptr(buf):
+    """A c_char_p view of any bytes-like object's data. bytes pass through
+    (ctypes takes the pointer directly); memoryview/mmap windows go through
+    a zero-copy numpy view — the caller must keep ``buf`` alive for the
+    duration of the native call."""
+    if isinstance(buf, bytes):
+        return buf
+    a = np.frombuffer(buf, np.uint8)
+    return ctypes.cast(a.ctypes.data, ctypes.c_char_p)
+
+
 def parse_fastq_buffer(
     buf: bytes, max_reads: int = 1 << 30
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray, int]:
@@ -214,8 +225,8 @@ def parse_fastq_buffer(
         qual_len = np.empty(cap, np.int64)
         consumed = _LONG(0)
         n = lib.gio_parse_fastq(
-            buf, len(buf), cap, id_off, id_len, seq_off, seq_len, qual_off,
-            qual_len, ctypes.byref(consumed),
+            _buf_ptr(buf), len(buf), cap, id_off, id_len, seq_off, seq_len,
+            qual_off, qual_len, ctypes.byref(consumed),
         )
         if n < 0:
             raise ValueError("read ID in fastq file does not begin with @")
@@ -269,7 +280,7 @@ def encode_batch(
     lib = _load()
     if lib is not None:
         lib.gio_encode(
-            buf,
+            _buf_ptr(buf),
             np.ascontiguousarray(seq_off, np.int64),
             np.ascontiguousarray(seq_len, np.int64),
             n,
@@ -658,7 +669,7 @@ def gather_bytes(buf, src_off, src_len, dst_off, out) -> bool:
     if lib is None or not hasattr(lib, "gio_gather_bytes"):
         return False
     lib.gio_gather_bytes(
-        buf, len(src_off),
+        _buf_ptr(buf), len(src_off),
         np.ascontiguousarray(src_off, np.int64),
         np.ascontiguousarray(src_len, np.int64),
         np.ascontiguousarray(dst_off, np.int64),

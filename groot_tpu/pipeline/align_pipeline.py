@@ -149,10 +149,12 @@ class ReadBatch:
         base = 0 if s == 0 else int(self._seg_ends_list[s - 1])
         b, (io_, il, so, sl, qo, ql) = self._segs[s]
         j = i - base
+        # bytes() so memoryview-backed segments (mmap ingest) hand out
+        # real bytes like the streaming path does
         return FastqRead(
-            id=b[io_[j] : io_[j] + il[j]],
-            seq=b[so[j] : so[j] + sl[j]],
-            qual=b[qo[j] : qo[j] + ql[j]],
+            id=bytes(b[io_[j] : io_[j] + il[j]]),
+            seq=bytes(b[so[j] : so[j] + sl[j]]),
+            qual=bytes(b[qo[j] : qo[j] + ql[j]]),
         )
 
 
@@ -231,6 +233,38 @@ def batch_reads_native(
             yield _batch_from_segs(segs)
 
     for path in paths:
+        if not path.endswith(".gz"):
+            # plain files: mmap + zero-copy memoryview windows (no read()
+            # copy, no leftover stitching — the window advances by the
+            # scanner's consumed offset)
+            import mmap as _mmap
+
+            mm = None
+            with open(path, "rb") as fh:
+                try:
+                    mm = _mmap.mmap(fh.fileno(), 0, access=_mmap.ACCESS_READ)
+                except (ValueError, OSError):
+                    mm = None  # empty file / unmappable: streaming loop
+            if mm is not None:
+                mv = memoryview(mm)
+                size = len(mm)
+                pos = 0
+                win = chunk_bytes
+                while pos < size:
+                    sub = mv[pos : pos + win]
+                    io_, il, so, sl, qo, ql, consumed = (
+                        native.parse_fastq_buffer(sub)
+                    )
+                    if len(io_) == 0:
+                        if pos + win >= size:
+                            break  # trailing garbage / partial record
+                        win *= 2  # a record larger than the window
+                        continue
+                    pend.append((sub, (io_, il, so, sl, qo, ql)))
+                    pend_n += len(io_)
+                    yield from drain()
+                    pos += consumed
+                continue
         opener = gzip.open if path.endswith(".gz") else open
         with opener(path, "rb") as fh:
             leftover = b""
