@@ -199,6 +199,8 @@ class HashAligner:
 
         from .batch_host import WindowTables
 
+        import mmap as _mmap
+
         try:
             with open(path, "rb") as fh:
                 magic = fh.read(len(self._SIDE_MAGIC))
@@ -206,17 +208,33 @@ class HashAligner:
                     return None  # old/foreign format -> rebuild
                 (hlen,) = _struct.unpack("<q", fh.read(8))
                 meta = pickle.loads(fh.read(hlen))
-                blob = fh.read()
+                base = fh.tell()
+                # mmap instead of read(): the ~100MB of setup arrays become
+                # zero-copy page-cache views (a bulk read() copy cost ~0.2s
+                # per align run); arrays are 64-byte aligned in the file
+                try:
+                    blob = _mmap.mmap(
+                        fh.fileno(), 0, access=_mmap.ACCESS_READ
+                    )
+                    if hasattr(blob, "madvise"):
+                        blob.madvise(_mmap.MADV_WILLNEED)
+                except (ValueError, OSError):
+                    fh.seek(base)
+                    blob = fh.read()
+                    base = 0
         except (OSError, ValueError, EOFError, pickle.UnpicklingError):
             return None
         need = set(self._ARRAYS) | {"wt_" + n for n in self._WT_ARRAYS}
         if (need - set(meta)) or "_fingerprint" not in meta:
             return None
+        self._side_mmap = blob  # keep the mapping alive with the views
 
         def get(name):
             dt, shape, off = meta[name]
             n = int(np.prod(shape)) if shape else 1
-            a = np.frombuffer(blob, dtype=np.dtype(dt), count=n, offset=off)
+            a = np.frombuffer(
+                blob, dtype=np.dtype(dt), count=n, offset=base + off
+            )
             return a.reshape(shape)
 
         expect = _index_fingerprint(index, int(k))

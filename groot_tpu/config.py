@@ -63,12 +63,15 @@ class Info:
 
     def dump(self, path: str) -> None:
         db = self.db
+        rt = self.__dict__.pop("_align_rt", None)  # runtime-only (holds mmaps)
         self.db = None
         try:
             with gzip.open(path, "wb") as fh:
                 pickle.dump(self, fh, protocol=4)
         finally:
             self.db = db
+            if rt is not None:
+                self._align_rt = rt
 
     @classmethod
     def load(cls, path: str) -> "Info":

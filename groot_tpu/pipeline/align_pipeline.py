@@ -346,15 +346,35 @@ def run_align(
     references = None
     tables = None
     acc = None
-    if not no_align:
+    # setup cache: the aligner/tables are pure functions of (index, store,
+    # k, engine); repeated run_align calls on one loaded Info (API users,
+    # multi-pass benchmarks) skip the ~0.25s sidecar load + table epilogue
+    engine = (
+        "host" if os.environ.get("GROOT_HOST_ALIGNER")
+        else "device" if os.environ.get("GROOT_DEVICE_ALIGNER")
+        else "hash"
+    )
+    rt_key = (engine, id(index), id(info.store), k, no_align)
+    rt = getattr(info, "_align_rt", None)
+    if rt is not None and rt[0] == rt_key:
+        aligner, tables = rt[1], rt[2]
+        if not no_align:
+            references = getattr(aligner, "references", None)
+            if references is None:
+                references = bamio.build_references(info.store)
+        if tables is not None:
+            from ..align.batch_host import WeightAccumulator
+
+            acc = WeightAccumulator(tables)
+    elif not no_align:
         references = bamio.build_references(info.store)
         # aligner selection: the hash-join aligner (v5) is the default —
         # candidate positions from an O(log N) substring-hash join instead
         # of brute-force match volumes. GROOT_DEVICE_ALIGNER forces the MXU
         # cascade, GROOT_HOST_ALIGNER the legacy per-Key host path.
-        if os.environ.get("GROOT_HOST_ALIGNER"):
+        if engine == "host":
             aligner = GraphAligner(info.store, references)
-        elif os.environ.get("GROOT_DEVICE_ALIGNER"):
+        elif engine == "device":
             from ..align.batch_host import WeightAccumulator, WindowTables
             from ..align.device_cascade import DeviceAligner
 
@@ -384,11 +404,13 @@ def run_align(
                     except OSError:
                         pass
             acc = WeightAccumulator(tables)
+        info._align_rt = (rt_key, aligner, tables)
     else:
         from ..align.batch_host import WeightAccumulator, WindowTables
 
         tables = WindowTables(index, info.store)
         acc = WeightAccumulator(tables)
+        info._align_rt = (rt_key, aligner, tables)
 
     # fast path: plain/gzip FASTQ files through the native scanner; FASTA or
     # STDIN fall back to the Python streamer

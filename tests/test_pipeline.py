@@ -141,3 +141,42 @@ def test_haplotype_calls_oxa90(aligned):
     )
     found = find_haplotypes(info, graphs)
     assert OXA90 in found
+
+
+def test_run_align_setup_cache_reuse(built_index, tmp_path):
+    """Repeated run_align calls on one loaded Info must reuse the cached
+    aligner/tables (the ~0.25s sidecar load + table epilogue happens once)
+    and keep producing identical BAM bytes."""
+    info = Info.load(os.path.join(built_index, "groot.gg"))
+    index = ContainmentIndex.load(os.path.join(built_index, "groot.lshe"))
+    info.attach_db(index)
+    info.containment_threshold = 0.99
+    info.sketch = AlignCmd(min_kmer_coverage=10, no_exact_align=False)
+
+    def one_pass(name):
+        bam_path = str(tmp_path / name)
+        refs = bamio.build_references(info.store)
+        with open(bam_path, "wb") as fh:
+            writer = bamio.BamWriter(fh, refs)
+            stats = run_align(info, [FASTQ], bam_writer=writer)
+            writer.close()
+        return stats, bamio.read_bam(bam_path)
+
+    st1, (refs1, recs1) = one_pass("a.bam")
+    rt = getattr(info, "_align_rt", None)
+    assert rt is not None
+    aligner_first = rt[1]
+    st2, (refs2, recs2) = one_pass("b.bam")
+    assert info._align_rt[1] is aligner_first  # cache hit, same aligner
+    assert (st1.received, st1.mapped, st1.alignment_count) == (
+        st2.received, st2.mapped, st2.alignment_count
+    )
+    assert [
+        (r.ref_id, r.pos, r.flag, r.name, r.cigar) for r in recs1
+    ] == [(r.ref_id, r.pos, r.flag, r.name, r.cigar) for r in recs2]
+
+    # dump() must not try to serialise the runtime cache (it holds mmaps)
+    info.dump(str(tmp_path / "roundtrip.gg"))
+    assert getattr(info, "_align_rt", None) is not None
+    reloaded = Info.load(str(tmp_path / "roundtrip.gg"))
+    assert not hasattr(reloaded, "_align_rt")
