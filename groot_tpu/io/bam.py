@@ -164,9 +164,11 @@ class BgzfWriter:
                 self._err = e
                 return
 
-    def _compress(self, data) -> bytes:
+    def _compress(self, data):
+        """Compress one run of complete blocks; returns any buffer-protocol
+        object (bytes or a uint8 array straight from the native call)."""
         if isinstance(data, list):
-            data = b"".join(data)
+            data = b"".join(data)  # memoryview parts join zero-surprise
         if self._native is not None:
             out = self._native(data)
             if out is not None:
@@ -345,8 +347,13 @@ class BamWriter:
         self.count += 1
 
     def write_raw(self, data, count: int) -> None:
-        """Append pre-assembled BAM record bytes (gio_emit_records)."""
-        self.bgzf.write(data.tobytes() if hasattr(data, "tobytes") else data)
+        """Append pre-assembled BAM record bytes (gio_emit_records). The
+        bytes stay a zero-copy view all the way to compression: numpy
+        output -> memoryview part -> native bgzf (which reads through the
+        buffer protocol); the part list keeps the backing array alive."""
+        if not isinstance(data, (bytes, memoryview)):
+            data = memoryview(data)
+        self.bgzf.write(data)
         self.count += count
 
     def write_groups(

@@ -76,6 +76,9 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.gio_inflate_blocks.argtypes = [
             ctypes.c_char_p, _LP, _LP, _LP, _LONG, _U8P,
         ]
+        if hasattr(lib, "gio_gunzip"):
+            lib.gio_gunzip.restype = _LONG
+            lib.gio_gunzip.argtypes = [ctypes.c_char_p, _LONG, _U8P, _LONG]
         _I8P = np.ctypeslib.ndpointer(dtype=np.int8, flags="C_CONTIGUOUS")
         _I32P = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
         _U64Pc = np.ctypeslib.ndpointer(dtype=np.uint64, flags="C_CONTIGUOUS")
@@ -760,15 +763,41 @@ def inflate_blocks(raw, off, clen, isize, total: int) -> Optional[bytes]:
     return out.tobytes()
 
 
-def bgzf_many(data: bytes, bs: int = 0xFF00) -> Optional[bytes]:
+def gunzip(data) -> "Optional[np.ndarray]":
+    """Decompress a whole gzip byte buffer (single- or multi-member) with
+    libdeflate in one native call; returns a uint8 array or None to use
+    the zlib streaming path. Capacity is seeded from the final member's
+    ISIZE footer (exact for the common single-member FASTQ case) and grown
+    on demand for concatenated members."""
+    lib = _load()
+    n = len(data)
+    if lib is None or not hasattr(lib, "gio_gunzip") or n < 18:
+        return None
+    isize = int.from_bytes(data[-4:], "little")
+    cap = max(isize + 64, n * 2, 1 << 16)
+    for _ in range(8):
+        out = np.empty(cap, np.uint8)
+        r = lib.gio_gunzip(_buf_ptr(data), n, out, cap)
+        if r == -2:
+            cap *= 4
+            continue
+        if r < 0:
+            return None
+        return out[:r]
+    return None
+
+
+def bgzf_many(data, bs: int = 0xFF00):
     """Compress a run of consecutive BGZF blocks in one native call (one
-    GIL release per batch), or None to use the per-block path."""
+    GIL release per batch), or None to use the per-block path. ``data`` is
+    any bytes-like object; returns a uint8 array view of the compressed
+    bytes (callers hand it straight to a buffer-protocol write)."""
     lib = _load()
     if lib is None or not hasattr(lib, "gio_bgzf_many"):
         return None
     nblocks = max(-(-len(data) // bs), 1)
     out = np.empty(len(data) + 1024 * (nblocks + 1), np.uint8)
-    n = lib.gio_bgzf_many(data, len(data), bs, out, len(out))
+    n = lib.gio_bgzf_many(_buf_ptr(data), len(data), bs, out, len(out))
     if n < 0:
         return None
-    return out[:n].tobytes()
+    return out[:n]

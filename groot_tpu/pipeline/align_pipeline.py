@@ -232,39 +232,57 @@ def batch_reads_native(
             pend_n -= batch_size
             yield _batch_from_segs(segs)
 
+    # whole-file native gunzip cutoff: a .gz at or below this compressed
+    # size is libdeflate-inflated in one call (~3x zlib) and scanned like a
+    # plain file; larger inputs keep the bounded-memory streaming path
+    gz_max = int(os.environ.get("GROOT_GUNZIP_MAX_MB", "256")) << 20
+
     for path in paths:
+        mv = None
         if not path.endswith(".gz"):
             # plain files: mmap + zero-copy memoryview windows (no read()
             # copy, no leftover stitching — the window advances by the
             # scanner's consumed offset)
             import mmap as _mmap
 
-            mm = None
+            with open(path, "rb") as fh:
+                try:
+                    mm = _mmap.mmap(fh.fileno(), 0, access=_mmap.ACCESS_READ)
+                    mv = memoryview(mm)
+                except (ValueError, OSError):
+                    mv = None  # empty file / unmappable: streaming loop
+        elif 18 <= os.path.getsize(path) <= gz_max:
+            import mmap as _mmap
+
             with open(path, "rb") as fh:
                 try:
                     mm = _mmap.mmap(fh.fileno(), 0, access=_mmap.ACCESS_READ)
                 except (ValueError, OSError):
-                    mm = None  # empty file / unmappable: streaming loop
+                    mm = None
             if mm is not None:
-                mv = memoryview(mm)
-                size = len(mm)
-                pos = 0
-                win = chunk_bytes
-                while pos < size:
-                    sub = mv[pos : pos + win]
-                    io_, il, so, sl, qo, ql, consumed = (
-                        native.parse_fastq_buffer(sub)
-                    )
-                    if len(io_) == 0:
-                        if pos + win >= size:
-                            break  # trailing garbage / partial record
-                        win *= 2  # a record larger than the window
-                        continue
-                    pend.append((sub, (io_, il, so, sl, qo, ql)))
-                    pend_n += len(io_)
-                    yield from drain()
-                    pos += consumed
-                continue
+                raw = native.gunzip(mm)
+                mm.close()
+                if raw is not None:
+                    mv = memoryview(raw)
+        if mv is not None:
+            size = len(mv)
+            pos = 0
+            win = chunk_bytes
+            while pos < size:
+                sub = mv[pos : pos + win]
+                io_, il, so, sl, qo, ql, consumed = (
+                    native.parse_fastq_buffer(sub)
+                )
+                if len(io_) == 0:
+                    if pos + win >= size:
+                        break  # trailing garbage / partial record
+                    win *= 2  # a record larger than the window
+                    continue
+                pend.append((sub, (io_, il, so, sl, qo, ql)))
+                pend_n += len(io_)
+                yield from drain()
+                pos += consumed
+            continue
         opener = gzip.open if path.endswith(".gz") else open
         with opener(path, "rb") as fh:
             leftover = b""

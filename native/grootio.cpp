@@ -572,6 +572,37 @@ long gio_inflate_blocks(
     return pos;
 }
 
+// Decompress whole-buffer gzip input (one or more concatenated members,
+// the layout of .fastq.gz and bgzip files) with libdeflate — measured ~3x
+// zlib's streaming inflate. Returns bytes written, -2 when out_cap is too
+// small (caller grows and retries), -1 on corrupt input or when built
+// without libdeflate (caller falls back to the zlib streaming path).
+extern "C" long gio_gunzip(
+    const uint8_t* in, long in_len, uint8_t* out, long out_cap) {
+#ifdef GIO_HAVE_LIBDEFLATE
+    static thread_local struct libdeflate_decompressor* d = nullptr;
+    if (!d) {
+        d = libdeflate_alloc_decompressor();
+        if (!d) return -1;
+    }
+    long in_pos = 0, out_pos = 0;
+    while (in_pos < in_len) {
+        size_t nin = 0, nout = 0;
+        enum libdeflate_result r = libdeflate_gzip_decompress_ex(
+            d, in + in_pos, (size_t)(in_len - in_pos),
+            out + out_pos, (size_t)(out_cap - out_pos), &nin, &nout);
+        if (r == LIBDEFLATE_INSUFFICIENT_SPACE) return -2;
+        if (r != LIBDEFLATE_SUCCESS || nin == 0) return -1;
+        in_pos += (long)nin;
+        out_pos += (long)nout;
+    }
+    return out_pos;
+#else
+    (void)in; (void)in_len; (void)out; (void)out_cap;
+    return -1;
+#endif
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

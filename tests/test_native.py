@@ -152,3 +152,49 @@ def test_sketch_slot0_prescreen_exact():
     assert (
         pre[~passed][:, 1:] == np.uint64(0xFFFFFFFFFFFFFFFF)
     ).all()
+
+
+def test_gunzip_whole_file_matches_zlib():
+    data = open(
+        "/root/reference/testing/data/bla-b7-150bp-5x.fq", "rb"
+    ).read()
+    gz = gzip.compress(data)
+    raw = native.gunzip(gz)
+    if raw is None:  # built without libdeflate
+        return
+    assert raw.tobytes() == data
+    # concatenated members (bgzip-style layout)
+    raw2 = native.gunzip(gz + gz)
+    assert raw2 is not None and raw2.tobytes() == data + data
+    assert native.gunzip(b"\x1f\x8b" + b"\x00" * 64) is None
+
+
+def test_batch_reads_native_gz_paths_agree(tmp_path, monkeypatch):
+    """The three .gz ingest routes (native whole-file gunzip, streaming
+    zlib fallback, plain file) must produce identical batches."""
+    import numpy as np
+
+    from groot_tpu.pipeline.align_pipeline import batch_reads_native
+
+    src = "/root/reference/testing/data/bla-b7-150bp-5x.fq"
+    data = open(src, "rb").read()
+    plain = tmp_path / "r.fq"
+    plain.write_bytes(data)
+    gz = tmp_path / "r.fq.gz"
+    gz.write_bytes(gzip.compress(data))
+
+    def collect(path):
+        out = []
+        for b in batch_reads_native([str(path)], batch_size=64):
+            for i in range(b.n):
+                r = b.read(i)
+                out.append((r.id, r.seq, r.qual))
+            out.append(
+                (b.codes.tobytes(), np.asarray(b.lengths).tobytes())
+            )
+        return out
+
+    want = collect(plain)
+    assert collect(gz) == want
+    monkeypatch.setenv("GROOT_GUNZIP_MAX_MB", "0")  # force streaming zlib
+    assert collect(gz) == want
