@@ -124,7 +124,7 @@ def main() -> int:
     ap.add_argument("--noAlign", action="store_true", help="seed+weight only")
     ap.add_argument(
         "--batchSize", type=int, default=None,
-        help="reads per batch (default: 8192 dense / 65536 mix)",
+        help="reads per batch (default: 8192 dense / 131072 mix)",
     )
     ap.add_argument(
         "--repeat", type=int, default=10,
@@ -198,12 +198,12 @@ def main() -> int:
             mix = ensure_mix()
             # best-of-7: the 2-core bench host sees multi-x ambient
             # contention; the recorded metric should reflect the machine,
-            # not whoever else is running (each pass is ~2s). Batch 64k
-            # measures ~15% over 8k on this workload (few hits ->
-            # per-batch overhead dominates); the ARG-dense run above keeps
-            # the smaller batch, which pipelines better when every read
+            # not whoever else is running (each pass is <1s). Batch 128k
+            # measures best on this workload (few hits -> per-batch
+            # overhead dominates); the ARG-dense run above keeps the
+            # smaller 8k batch, which pipelines better when every read
             # aligns.
-            mix_batch = 65536 if args.batchSize is None else args.batchSize
+            mix_batch = 131072 if args.batchSize is None else args.batchSize
             for _pass in range(7):
                 refs = bamio.build_references(info.store)
                 with open(os.path.join(CACHE, "mix.bam"), "wb") as fh2:
