@@ -559,12 +559,14 @@ class BamRecord:
         return total
 
 
-def bgzf_decompress(raw: bytes) -> bytes:
+def bgzf_decompress(raw, as_array: bool = False):
     """Decompress a BGZF stream by walking the BSIZE fields: one zlib
     inflate per block into a preallocated buffer. gzip.decompress degrades
     to O(n^2) on multi-member streams (it re-slices the remaining input per
     member — a 28MB BAM of ~5000 blocks took ~18s); this is ~0.5s. Falls
-    back to gzip.decompress for non-BGZF gzip input."""
+    back to gzip.decompress for non-BGZF gzip input. ``raw`` may be bytes
+    or an mmap; with as_array=True the native path returns a uint8 array
+    (no copy-out) — callers must then treat the result as a buffer."""
     import gzip as _gzip
 
     if raw[:4] != b"\x1f\x8b\x08\x04":
@@ -602,7 +604,7 @@ def bgzf_decompress(raw: bytes) -> bytes:
             raw, arr[:, 0], arr[:, 1], arr[:, 2], total
         )
         if res is not None:
-            return res
+            return res if as_array else res.tobytes()
     out = bytearray(total)
     mv = memoryview(raw)
     pos = 0
@@ -615,8 +617,9 @@ def bgzf_decompress(raw: bytes) -> bytes:
     return bytes(out)
 
 
-def parse_bam_header(data: bytes) -> Tuple[List[Reference], int]:
-    """Parse a decompressed BAM header; returns (refs, record offset)."""
+def parse_bam_header(data) -> Tuple[List[Reference], int]:
+    """Parse a decompressed BAM header (any bytes-like buffer); returns
+    (refs, record offset)."""
     off = 0
     magic, l_text = struct.unpack_from("<4sI", data, off)
     if magic != b"BAM\x01":
@@ -628,7 +631,7 @@ def parse_bam_header(data: bytes) -> Tuple[List[Reference], int]:
     for i in range(n_ref):
         (l_name,) = struct.unpack_from("<I", data, off)
         off += 4
-        name = data[off : off + l_name - 1].decode()
+        name = bytes(data[off : off + l_name - 1]).decode()
         off += l_name
         (l_ref,) = struct.unpack_from("<I", data, off)
         off += 4

@@ -745,22 +745,23 @@ def bgzf_block(data: bytes) -> Optional[bytes]:
     return out[:n].tobytes()
 
 
-def inflate_blocks(raw, off, clen, isize, total: int) -> Optional[bytes]:
+def inflate_blocks(raw, off, clen, isize, total: int) -> "Optional[np.ndarray]":
     """Inflate pre-walked BGZF blocks (raw deflate payloads) with
-    libdeflate in one native call, or None to use the zlib path. `raw` is
-    the whole BGZF byte string; off/clen/isize are int64 arrays."""
+    libdeflate in one native call, or None to use the zlib path. ``raw``
+    is the whole BGZF stream (any bytes-like object, mmap included);
+    returns the decompressed bytes as a uint8 array (no copy-out)."""
     lib = _load()
     if lib is None or not hasattr(lib, "gio_inflate_blocks"):
         return None
     out = np.empty(total, np.uint8)
     n = lib.gio_inflate_blocks(
-        raw, np.ascontiguousarray(off, np.int64),
+        _buf_ptr(raw), np.ascontiguousarray(off, np.int64),
         np.ascontiguousarray(clen, np.int64),
         np.ascontiguousarray(isize, np.int64), len(off), out,
     )
     if n != total:
         return None
-    return out.tobytes()
+    return out
 
 
 def gunzip(data) -> "Optional[np.ndarray]":

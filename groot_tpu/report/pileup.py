@@ -132,10 +132,23 @@ def _report_fast(
 
     if not native.available():
         return None
-    raw = open(bam_path, "rb").read() if bam_path else fh.read()
-    data = bamio.bgzf_decompress(raw)
+    if bam_path:
+        import mmap as _mmap
+
+        with open(bam_path, "rb") as _fh:
+            try:  # zero-copy input; empty/unmappable falls back to read()
+                raw = _mmap.mmap(_fh.fileno(), 0, access=_mmap.ACCESS_READ)
+            except (ValueError, OSError):
+                raw = _fh.read()
+    else:
+        raw = fh.read()
+    data = bamio.bgzf_decompress(raw, as_array=True)
     refs, off = bamio.parse_bam_header(data)
-    res = native.bam_scan(np.frombuffer(data, np.uint8), off)
+    data_np = (
+        data if isinstance(data, np.ndarray)
+        else np.frombuffer(data, np.uint8)
+    )
+    res = native.bam_scan(data_np, off)
     if res is None:
         return None
     ref_id, pos, flag, aln = res
