@@ -58,7 +58,9 @@ def build_parser() -> argparse.ArgumentParser:
     def add_globals(sp):
         sp.add_argument("-i", "--indexDir", default="", help="index directory")
         sp.add_argument("--log", default="groot.log", help="log file ('' = stderr)")
-        sp.add_argument("-p", "--processors", type=int, default=1)
+        sp.add_argument(
+            "-p", "--processors", type=int, default=os.cpu_count() or 1
+        )
         sp.add_argument("--profiling", action="store_true")
         sp.add_argument(
             "--batchSize", type=int, default=2048, help="reads per device batch"

@@ -39,7 +39,9 @@ class HaploCmd:
 @dataclass
 class Info:
     version: str = field(default_factory=get_version)
-    num_proc: int = 1
+    # host worker parallelism (the reference's -p; its default is 1, ours
+    # is the machine — the batch pipeline is sized for all host cores)
+    num_proc: int = field(default_factory=lambda: os.cpu_count() or 1)
     profiling: bool = False
     kmer_size: int = 31
     sketch_size: int = 21

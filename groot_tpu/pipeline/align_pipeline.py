@@ -372,6 +372,8 @@ def run_align(
         else "device" if os.environ.get("GROOT_DEVICE_ALIGNER")
         else "hash"
     )
+    # the cache tuple pins the exact index/store objects, so the ids in the
+    # key cannot be recycled by a different object while the cache lives
     rt_key = (engine, id(index), id(info.store), k, no_align)
     rt = getattr(info, "_align_rt", None)
     if rt is not None and rt[0] == rt_key:
@@ -422,13 +424,13 @@ def run_align(
                     except OSError:
                         pass
             acc = WeightAccumulator(tables)
-        info._align_rt = (rt_key, aligner, tables)
+        info._align_rt = (rt_key, aligner, tables, index, info.store)
     else:
         from ..align.batch_host import WeightAccumulator, WindowTables
 
         tables = WindowTables(index, info.store)
         acc = WeightAccumulator(tables)
-        info._align_rt = (rt_key, aligner, tables)
+        info._align_rt = (rt_key, aligner, tables, index, info.store)
 
     # fast path: plain/gzip FASTQ files through the native scanner; FASTA or
     # STDIN fall back to the Python streamer
@@ -591,7 +593,14 @@ def _run_align_pooled(
 
     from ..align.batch_host import WeightAccumulator
 
-    workers = max(int(os.environ.get("GROOT_WORKERS", "2")), 1)
+    workers = max(
+        int(
+            os.environ.get("GROOT_WORKERS", "")
+            or getattr(info, "num_proc", 0)
+            or 2
+        ),
+        1,
+    )
     accs: Dict[int, WeightAccumulator] = {}
 
     def work(batch):
