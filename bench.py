@@ -154,6 +154,9 @@ def main() -> int:
 
     t0 = time.time()
     info = Info.load(os.path.join(index_dir, "groot.gg"))
+    # the align worker pool follows num_proc (the CLI's -p); a groot.gg
+    # cached by an older build may carry 1 — bench wants the machine
+    info.num_proc = os.cpu_count() or 2
     info.attach_db(ContainmentIndex.load(os.path.join(index_dir, "groot.lshe")))
     print(f"# index loaded in {time.time()-t0:.1f}s", file=sys.stderr)
     info.containment_threshold = 0.99
