@@ -177,6 +177,12 @@ class HashAligner:
             meta[name] = (arr.dtype.str, arr.shape, off)
             off += arr.nbytes
         hdr = pickle.dumps(meta, protocol=4)
+        # pad the header so the blob base (magic + 8 + hlen) lands on a
+        # 64-byte boundary — offsets are 64-aligned relative to base, so
+        # this keeps the mmap'ed views truly 64-byte aligned in memory
+        # (pickle ignores bytes after the STOP opcode)
+        pre = len(self._SIDE_MAGIC) + 8
+        hdr += b"\x00" * (-(pre + len(hdr)) % 64)
         tmp = path + ".tmp"
         with open(tmp, "wb") as fh:
             fh.write(self._SIDE_MAGIC)
@@ -224,10 +230,14 @@ class HashAligner:
                     base = 0
         except (OSError, ValueError, EOFError, pickle.UnpicklingError):
             return None
+        def discard():
+            if isinstance(blob, _mmap.mmap):
+                blob.close()
+            return None
+
         need = set(self._ARRAYS) | {"wt_" + n for n in self._WT_ARRAYS}
         if (need - set(meta)) or "_fingerprint" not in meta:
-            return None
-        self._side_mmap = blob  # keep the mapping alive with the views
+            return discard()
 
         def get(name):
             dt, shape, off = meta[name]
@@ -243,7 +253,8 @@ class HashAligner:
                 "groot.align sidecar does not match the loaded index; "
                 "rebuilding alignment tables"
             )
-            return None
+            return discard()  # don't retain a stale mapping
+        self._side_mmap = blob  # keep the mapping alive with the views
         self._fingerprint = expect
         data = {name: get(name) for name in need}
         for name in self._ARRAYS:

@@ -83,4 +83,9 @@ class Info:
             info = pickle.load(fh)
         if not isinstance(info, cls):
             raise ValueError(f"not a groot_tpu Info artifact: {path}")
+        # migrate: a groot.gg pickled by an older build carries num_proc=1,
+        # which would silently single-thread the align pool for API users
+        # (the CLI overwrites num_proc from -p). Treat <=1/missing as unset.
+        if getattr(info, "num_proc", 0) <= 1:
+            info.num_proc = os.cpu_count() or 1
         return info

@@ -775,15 +775,22 @@ def gunzip(data) -> "Optional[np.ndarray]":
     if lib is None or not hasattr(lib, "gio_gunzip") or n < 18:
         return None
     isize = int.from_bytes(data[-4:], "little")
-    cap = max(isize + 64, n * 2, 1 << 16)
+    # trust the ISIZE seed first: max(isize, n*2) over-allocates ~2x for
+    # barely-compressible inputs, and out[:r] pins the whole buffer for
+    # the caller's lifetime. Only on retry (multi-member concatenation,
+    # ISIZE wrap) fall back to growing from n*2.
+    cap = max(isize + 64, 1 << 16)
     for _ in range(8):
         out = np.empty(cap, np.uint8)
         r = lib.gio_gunzip(_buf_ptr(data), n, out, cap)
         if r == -2:
-            cap *= 4
+            cap = max(cap * 4, n * 2)
             continue
         if r < 0:
             return None
+        if cap - r > max(r // 4, 1 << 20):
+            out = out[:r].copy()  # don't pin a >1.25x over-allocation
+            return out
         return out[:r]
     return None
 

@@ -376,6 +376,10 @@ def run_align(
     # key cannot be recycled by a different object while the cache lives
     rt_key = (engine, id(index), id(info.store), k, no_align)
     rt = getattr(info, "_align_rt", None)
+    if rt is not None and rt[0] != rt_key:
+        # drop the stale runtime BEFORE rebuilding so the old index/store/
+        # tables become collectible (they can pin ~100MB of arrays + mmaps)
+        info._align_rt = rt = None
     if rt is not None and rt[0] == rt_key:
         aligner, tables = rt[1], rt[2]
         if not no_align:

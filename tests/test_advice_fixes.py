@@ -106,6 +106,51 @@ def test_long_read_batch_grows_rpow(built_index):
     assert int(aligner.rpow[i]) == expect
 
 
+def test_sidecar_blob_base_is_64_aligned(built_index, tmp_path):
+    """Round-3 advice: the mmap'ed array views must be truly 64-byte
+    aligned, which requires the blob base (magic + 8 + header) to land on
+    a 64-byte file offset."""
+    import pickle
+    import struct
+
+    info, index, aligner = _make_aligner(built_index)
+    cache = str(tmp_path / "groot.align")
+    aligner.save_arrays(cache)
+    with open(cache, "rb") as fh:
+        magic = fh.read(len(aligner._SIDE_MAGIC))
+        (hlen,) = struct.unpack("<q", fh.read(8))
+        base = len(magic) + 8 + hlen
+    assert base % 64 == 0
+    fresh = _make_aligner(built_index)[2].__class__(info.store)
+    assert fresh.try_load(index, cache, info.kmer_size) is not None
+    for name in fresh._ARRAYS:
+        arr = getattr(fresh, name)
+        if arr.nbytes:
+            assert arr.ctypes.data % 64 == 0, name
+
+
+def test_stale_sidecar_not_retained(built_index, tmp_path):
+    """Round-3 advice: a fingerprint-mismatched sidecar must not leave its
+    mmap attached to the aligner."""
+    info, index, aligner = _make_aligner(built_index)
+    cache = str(tmp_path / "groot.align")
+    aligner.save_arrays(cache)
+    fresh = _make_aligner(built_index)[2].__class__(info.store)
+    assert fresh.try_load(index, cache, info.kmer_size + 2) is None
+    assert getattr(fresh, "_side_mmap", None) is None
+
+
+def test_info_load_migrates_num_proc(tmp_path):
+    """Round-3 advice: a groot.gg carrying num_proc<=1 (older builds'
+    default) must not silently single-thread API users' align pool."""
+    info = Info(kmer_size=7, sketch_size=4, window_size=20)
+    info.num_proc = 1
+    p = str(tmp_path / "groot.gg")
+    info.dump(p)
+    loaded = Info.load(p)
+    assert loaded.num_proc == (os.cpu_count() or 1)
+
+
 def test_bgzf_writer_error_propagates():
     class FailingFH:
         def write(self, data):
