@@ -1,0 +1,906 @@
+"""Device hash-join cascade (aligner v6, TPU-native).
+
+The host HashAligner (align/hash_join.py) verifies exact matches with an
+O(1) polynomial-hash comparison and joins the read's match list against the
+cascade's probe positions. That formulation is data-dependent (match lists,
+searchsorted buckets) — hostile to XLA. v6 inverts it for the chip: the
+ENTIRE candidate set of the reference cascade
+(/root/reference/src/graph/alignment.go:34-103) becomes dense grids over a
+FLAT row axis, one row per REAL (mapping, path-through-seed-node) — no
+padded path lanes, so work is proportional to true cascade work:
+
+  phase A (seed_scan): stage 1 (seed offsets 0..span) + stages 3/4
+    (clipped probes) for every row — one [rows, W] gather + elementwise;
+  phase B (shuffle_scan): stage 2 (contained nodes x shuffles 0..10), run
+    ONLY for pairs phase A leaves undecided — the reference stops at the
+    first success per (read, graph), so phase B is near-empty on real
+    workloads.
+
+Exact-match tests are ANCHOR CHAINS: read[0:lb] matches the path at p iff
+the 32-bit k-window hash matches at offsets {0, k, 2k, ..., lb-k}
+(consecutive gaps <= k => full equality, ~2^-32 false accept per anchor).
+Path-side window hashes live in the unfolded table T1 [flat position,
+lane j] so each row needs ONE row gather — the only fast arbitrary-index
+load on a TPU (tools/gather_bench.py: row gathers ~100x scalar gathers).
+The hash field is the LOW 32 BITS of the host engine's mod-2^64 polynomial
+hash (mod 2^32 is a ring homomorphism, so device tables are host tables
+truncated). Every winning record is byte-verified on the host by the same
+collision guard the host engine uses (hash_join._verify_candidates), so a
+false accept can only cause a logged per-combo fallback, never a wrong
+record.
+
+Overhang past a terminal-free path end (dead-end DFS partials,
+alignment.go:229): anchors gate to in-path windows; tails shorter than k
+are certified by the PE2 path-tail-hash table; the <= k-1 bases just
+before the path end of a long overhang are certified only by the host
+verify.
+
+Wildcards: a path 'N' matches any read base, which equality hashing cannot
+express; combos whose graph contains any path-N run on the inherited host
+cascade (counted + logged), as do reads longer than MAXL or shorter than
+k+1. There are no MAX_READ/contained-node/path-count caps.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .aligner import NODE_SHUFFLES
+from .batch_host import csr_expand, winners
+from .hash_join import HashAligner
+
+log = logging.getLogger("groot")
+
+INF32 = np.int32(2**30)
+MAXL = 192       # longest read served on device; longer -> host residue
+KA = MAXL        # overhang tail lanes: EVERY overhang (avail < lb <= MAXL)
+                 # is one certified path-tail-hash compare — no partially
+                 # certified region, no structural false accepts
+NONE8 = 255      # u8 sentinel for "no match" in packed outputs
+
+ROW_BUCKETS = (4096, 16384, 65536, 262144)
+
+
+class _FbStats:
+    """Stat sink for the host-cascade fallback call (only the alignment
+    counter is produced there; mapped/multimapped were already counted)."""
+
+    def __init__(self):
+        self.alignment_count = 0
+
+
+def _bucket_rows(n: int) -> int:
+    for b in ROW_BUCKETS:
+        if n <= b:
+            return b
+    return -(-n // ROW_BUCKETS[-1]) * ROW_BUCKETS[-1]
+
+
+def _offsets(lb: int, k: int):
+    """Anchor window starts certifying read[0:lb]: consecutive gaps <= k,
+    so matching every k-window at these offsets == exact equality."""
+    offs = list(range(0, max(lb - k, 0) + 1, k))
+    if offs[-1] != lb - k and lb - k > 0:
+        offs.append(lb - k)
+    return tuple(offs)
+
+
+def _row_gather(table, idx, width: int):
+    """Row gather T[idx, :width] as ONE lax.gather with slice (1, width)."""
+    from jax import lax
+
+    shape = idx.shape
+    flat = jnp.clip(idx.reshape(-1, 1), 0, table.shape[0] - 1)
+    out = lax.gather(
+        table,
+        flat,
+        lax.GatherDimensionNumbers(
+            offset_dims=(1,),
+            collapsed_slice_dims=(0,),
+            start_index_map=(0,),
+        ),
+        slice_sizes=(1, width),
+        mode=lax.GatherScatterMode.CLIP,
+    )
+    return out.reshape(*shape, width)
+
+
+def _chain(rowT, ah_row, avail, cs, lb, offs, D, ok_r, bound):
+    """Anchor-chain INTERIOR match grid over j = 0..D-1: true where the
+    (cs, lb) read variant exactly matches fully inside the path. Overhang
+    matches are _short_over's job (one tail-hash compare each)."""
+    j = jnp.arange(D, dtype=jnp.int32)
+    ok = jnp.ones(avail.shape, dtype=bool)
+    for o in offs:
+        ok &= rowT[:, o : o + D] == ah_row[:, cs + o][:, None]
+    ok &= (avail >= lb) & ok_r[:, None] & (j <= bound[:, None])
+    return ok
+
+
+def _short_over(pe_r, ph_row, base, plen_r, tf_r, ok_r, cs, lb, bound,
+                rinv1):
+    """Overhang candidates on the tail axis (a = matched bases =
+    plen - pos, a < lb): min stage offset j = plen - base - a over exact
+    tail-hash matches on terminal-free rows, INF if none. One compare per
+    candidate — the read prefix hash vs the PE2 path-tail hash."""
+    ka = jnp.arange(KA, dtype=jnp.int32)
+    rhs = (
+        ph_row[:, cs : cs + KA] - ph_row[:, cs : cs + 1]
+    ) * (rinv1 if cs == 1 else 1)
+    ok = pe_r == rhs
+    j_cand = plen_r[:, None] - base[:, None] - ka
+    ok &= (
+        (ka >= 1)
+        & (ka <= lb - 1)
+        & (j_cand >= 0)
+        & (j_cand <= bound[:, None])
+        & tf_r[:, None]
+        & ok_r[:, None]
+    )
+    return jnp.min(jnp.where(ok, j_cand, INF32), axis=-1)
+
+
+@partial(jax.jit, static_argnames=("D1", "L0", "k"))
+def seed_scan(
+    tables: dict,
+    PHf,            # i32 [B, WPH] fwd prefix hashes (device-resident)
+    PHr,            # i32 [B, WPH] rc prefix hashes
+    AHf,            # i32 [B, L+1-k] fwd k-window hashes per read position
+    AHr,            # i32 [B, L+1-k]
+    row_read,       # i32 [Nr] row into the PH/AH tables
+    row_prow,       # i32 [Nr] global path row
+    row_base,       # i32 [Nr] seed position in the path (spos + offset)
+    row_sb,         # i32 [Nr] stage-1 offset bound (min(span, slen-1-off))
+    row_valid,      # bool [Nr]
+    *,
+    D1: int,
+    L0: int,        # exact read length of every row in this call
+    k: int,
+):
+    """Phase A: stages 1, 3 and 4 for every (mapping, path) row. Returns
+    packed i32 [Nr]: j1_fwd | j1_rc<<8 | flags<<16 with j1 as u8
+    (255 = no stage-1 match) and flags bits (s3f, s4f, s3r, s4r)."""
+    T1 = tables["T1"]
+    pe2 = tables["pe2"]
+    path_len = tables["path_len"]
+    ph_start = tables["ph_start"]
+    tfree = tables["tfree"]
+    rinv1 = tables["rinv1"]
+    W1 = T1.shape[1]
+    assert W1 >= D1 + L0 - k + 1, "T1 too narrow for this read length"
+    assert D1 <= NONE8 - 1, "stage-1 offset overflows the u8 output"
+
+    plen = path_len[row_prow]
+    s = ph_start[row_prow]
+    tf = tfree[row_prow]
+    rowT = _row_gather(T1, s + jnp.maximum(row_base, 0), W1)   # [Nr, W1]
+    pe_r = pe2[row_prow]                                       # [Nr, KA]
+    offs_full = _offsets(L0, k)
+    offs_clip = _offsets(L0 - 1, k)
+    j = jnp.arange(D1, dtype=jnp.int32)
+    avail1 = plen[:, None] - (row_base[:, None] + j)
+
+    def per_ori(PH, AH):
+        ph_row = PH[row_read]
+        ah_row = AH[row_read]
+        g1 = _chain(
+            rowT, ah_row, avail1, 0, L0, offs_full, D1, row_valid, row_sb
+        )
+        j1 = jnp.min(jnp.where(g1, j, INF32), axis=-1)
+        j1s = _short_over(
+            pe_r, ph_row, row_base, plen, tf, row_valid, 0, L0, row_sb,
+            rinv1,
+        )
+        j1 = jnp.minimum(j1, j1s)
+
+        zb = jnp.zeros_like(row_base)
+
+        def clip(cs):
+            g = _chain(
+                rowT, ah_row, avail1[:, :1], cs, L0 - 1, offs_clip, 1,
+                row_valid, zb,
+            )[:, 0]
+            js = _short_over(
+                pe_r, ph_row, row_base, plen, tf, row_valid, cs, L0 - 1,
+                zb, rinv1,
+            )
+            return g | (js == 0)
+
+        return jnp.minimum(j1, NONE8).astype(jnp.int32), clip(1), clip(0)
+
+    j1f, s3f, s4f = per_ori(PHf, AHf)
+    j1r, s3r, s4r = per_ori(PHr, AHr)
+    flags = (
+        s3f.astype(jnp.int32)
+        | (s4f.astype(jnp.int32) << 1)
+        | (s3r.astype(jnp.int32) << 2)
+        | (s4r.astype(jnp.int32) << 3)
+    )
+    return j1f | (j1r << 8) | (flags << 16)
+
+
+@partial(jax.jit, static_argnames=("L0", "k", "W2"))
+def shuffle_scan(
+    tables: dict,
+    PHf, PHr, AHf, AHr,
+    row_read,       # i32 [Nr]
+    row_prow,       # i32 [Nr] global path row
+    row_base,       # i32 [Nr] contained-node position in the path
+    row_cb,         # i32 [Nr] shuffle bound (min(NODE_SHUFFLES, clen-1))
+    row_valid,      # bool [Nr]
+    *,
+    L0: int,
+    k: int,
+    W2: int,
+):
+    """Phase B: stage 2 for (probe, path) rows of the pairs phase A left
+    undecided. Returns packed i32 [Nr]: sh_fwd | sh_rc<<8 (u8, 255=none)."""
+    T1 = tables["T1"]
+    pe2 = tables["pe2"]
+    path_len = tables["path_len"]
+    ph_start = tables["ph_start"]
+    tfree = tables["tfree"]
+    rinv1 = tables["rinv1"]
+    D = NODE_SHUFFLES + 1
+    assert W2 >= D + L0 - k + 1, "stage-2 width too narrow"
+
+    plen = path_len[row_prow]
+    s = ph_start[row_prow]
+    tf = tfree[row_prow]
+    rowT = _row_gather(T1, s + jnp.maximum(row_base, 0), W2)
+    pe_r = pe2[row_prow]
+    offs_full = _offsets(L0, k)
+    j = jnp.arange(D, dtype=jnp.int32)
+    avail = plen[:, None] - (row_base[:, None] + j)
+
+    def per_ori(PH, AH):
+        g = _chain(
+            rowT, AH[row_read], avail, 0, L0, offs_full, D, row_valid,
+            row_cb,
+        )
+        sh = jnp.min(jnp.where(g, j, INF32), axis=-1)
+        shs = _short_over(
+            pe_r, PH[row_read], row_base, plen, tf, row_valid, 0, L0,
+            row_cb, rinv1,
+        )
+        return jnp.minimum(jnp.minimum(sh, shs), NONE8).astype(jnp.int32)
+
+    return per_ori(PHf, AHf) | (per_ori(PHr, AHr) << 8)
+
+
+class DeviceJoinAligner(HashAligner):
+    """HashAligner with the cascade evaluated on the accelerator.
+
+    Setup (tables, sidecar load, byte verification, host fallback, BAM
+    emission) is inherited; only the staged winner evaluation is replaced
+    by the jitted scan kernels. submit_pairs/collect_pairs let the
+    pipeline overlap device compute of batch i with host work on i-1."""
+
+    prefers_async = True  # route through submit/collect, not process_batch
+
+    def __init__(self, store, references=None):
+        super().__init__(store, references)
+        self._dev = None
+        self._d1 = 208
+
+    # -- setup ----------------------------------------------------------
+    def attach_tables(self, tables, index, k: int) -> None:
+        super().attach_tables(tables, index, k)
+        self._setup_device()
+
+    def try_load(self, index, path: str, k: int):
+        t = super().try_load(index, path, k)
+        if t is not None:
+            self._setup_device()
+        return t
+
+    def _setup_device(self) -> None:
+        t = self.tables
+        self._d1 = int(-(-(int(t.w_span.max()) + 1) // 16) * 16) if (
+            t.num_windows
+        ) else 16
+        as_i32 = lambda a: jnp.asarray(np.asarray(a).astype(np.int32))
+        R = self.R
+        F = len(self.ph)
+        k = self.k
+        self._dev_ok = k < MAXL and self._d1 <= NONE8 - 1
+        if not self._dev_ok:
+            log.warning(
+                "index (k=%d, span budget %d) outside the device cascade "
+                "envelope; all combos run on the host cascade",
+                k, self._d1,
+            )
+        # path-side window hashes (low 32 bits of the host polynomial
+        # hashes; mod 2^32 is a ring homomorphism of the host's mod 2^64)
+        ah = np.zeros(F, dtype=np.uint64)
+        pe = np.zeros((R, KA), dtype=np.uint64)
+        ka = np.arange(KA, dtype=np.int64)
+        with np.errstate(over="ignore"):
+            for r in range(R):
+                plen = int(self.path_len[r])
+                s = int(self.ph_start[r])
+                n = plen - k + 1
+                if n > 0:
+                    pos = np.arange(n, dtype=np.int64)
+                    ah[s : s + n] = (
+                        self.ph[s + pos + k] - self.ph[s + pos]
+                    ) * self.rinv[pos]
+                w = plen - ka
+                valid = w >= 0
+                wv = w[valid]
+                pe[r, valid] = (
+                    self.ph[s + plen] - self.ph[s + wv]
+                ) * self.rinv[wv]
+        ah32 = jnp.asarray(ah.astype(np.uint32).view(np.int32))
+        W1 = self._d1 + (MAXL - k) + 8
+        self._w2 = NODE_SHUFFLES + 1 + (MAXL - k) + 4
+
+        @partial(jax.jit, static_argnames=("W",))
+        def unfold(a, W: int):
+            ap = jnp.pad(a, (0, W))
+            n = a.shape[0]
+            return jnp.stack([ap[w : w + n] for w in range(W)], axis=1)
+
+        self._dev = {
+            "T1": unfold(ah32, W1) if self._dev_ok else ah32[:, None],
+            "pe2": jnp.asarray(pe.astype(np.uint32).view(np.int32)),
+            "ph_start": as_i32(self.ph_start),
+            "path_len": as_i32(self.path_len),
+            "tfree": jnp.asarray(self.tfree),
+            "rinv1": jnp.int32(
+                int(self.rinv[1]) & 0x7FFFFFFF
+                | (-(2**31) if int(self.rinv[1]) & (1 << 31) else 0)
+            ),
+        }
+        # graphs containing a path-N (wildcard) -> host fallback combos
+        ghasN = np.zeros(self.G + 1, dtype=bool)
+        nrows = np.flatnonzero(self.nrow)
+        ghasN[self.path_graph[nrows]] = True
+        self._ghasN = ghasN[: self.G]
+        if not self._dev_ok:
+            self._ghasN = np.ones_like(self._ghasN)
+        self._read_hash_cache: Dict[Tuple[int, int], object] = {}
+        self._rinv32 = jnp.asarray(
+            self.rinv.astype(np.uint32).view(np.int32)
+        )
+        self._rpow32 = jnp.asarray(
+            self.rpow.astype(np.uint32).view(np.int32)
+        )
+        # host npos lookup: row enumeration per (node, path lane)
+        self._npg = np.diff(self.g_first_row).astype(np.int64)
+
+    def _read_hash_fn(self, B: int, L: int):
+        """Jitted builder of the per-read tables for one batch shape:
+        prefix hashes PHf/PHr [B, WPH] and k-window anchor hashes AHf/AHr
+        [B, L+1-k] (fwd + reverse-complement)."""
+        fn = self._read_hash_cache.get((B, L))
+        if fn is not None:
+            return fn
+        from ..ops.nthash import RC_CODE_NP
+
+        rc_tab = jnp.asarray(RC_CODE_NP.astype(np.int32))
+        rpow = self._rpow32
+        rinv = self._rinv32
+        k = self.k
+        WPH = max(L + 1, KA + 2)
+
+        @jax.jit
+        def build(codes, lengths):
+            c = codes.astype(jnp.int32)
+            vals = (c + 1) * rpow[:L][None, :]
+            PHf = jnp.concatenate(
+                [jnp.zeros((B, 1), jnp.int32), jnp.cumsum(vals, axis=1)],
+                axis=1,
+            )
+            rev = jnp.clip(
+                lengths[:, None] - 1 - jnp.arange(L)[None, :], 0, L - 1
+            )
+            rcod = rc_tab[jnp.take_along_axis(c, rev, axis=1)]
+            rvals = (rcod + 1) * rpow[:L][None, :]
+            PHr = jnp.concatenate(
+                [jnp.zeros((B, 1), jnp.int32), jnp.cumsum(rvals, axis=1)],
+                axis=1,
+            )
+            na = L + 1 - k
+            AHf = (PHf[:, k:] - PHf[:, :na]) * rinv[:na][None, :]
+            AHr = (PHr[:, k:] - PHr[:, :na]) * rinv[:na][None, :]
+            pad = WPH - (L + 1)
+            if pad > 0:
+                PHf2 = jnp.pad(PHf, ((0, 0), (0, pad)))
+                PHr2 = jnp.pad(PHr, ((0, 0), (0, pad)))
+            else:
+                PHf2, PHr2 = PHf, PHr
+            return PHf2, PHr2, AHf, AHr
+
+        self._read_hash_cache[(B, L)] = build
+        return build
+
+    # -- row enumeration (host numpy) -----------------------------------
+    def _expand_rows(self, nodes, extra):
+        """(mapping-like item, node) -> flat (item, path) rows where the
+        node lies on the path: returns (owner, prow, pos) with pos >= 0.
+        `extra` broadcasts per-item values onto the rows."""
+        gi = self.node_g[nodes]
+        npg = self._npg[gi]
+        total = int(npg.sum())
+        owner = np.repeat(np.arange(len(nodes)), npg)
+        starts = np.concatenate(([0], np.cumsum(npg[:-1])))
+        lane = np.arange(total, dtype=np.int64) - starts[owner]
+        pos = self.npos_dense[self.node_base[nodes[owner]] + lane]
+        keep = pos >= 0
+        owner = owner[keep]
+        prow = (self.g_first_row[gi[owner]] + lane[keep]).astype(np.int64)
+        return owner, prow, pos[keep].astype(np.int64)
+
+    # -- per-batch ------------------------------------------------------
+    def submit_pairs(self, batch, rows, wins, combo_start):
+        """Phase A: pack the flat stage-1/3/4 rows and launch seed_scan
+        per read-length group. Only the mapped reads' code rows cross to
+        the device. Returns opaque handles for collect_pairs."""
+        n_pairs = len(rows)
+        if n_pairs == 0:
+            return []
+        t = self.tables
+        codes = np.asarray(batch.codes)
+        lengths = np.asarray(batch.lengths).astype(np.int64)
+        self._ensure_pow(codes.shape[1] + 2)
+
+        combo_end = np.append(combo_start[1:], n_pairs)
+        c_read = rows[combo_start]
+        c_g = np.searchsorted(t.graph_ids, t.w_graph[wins[combo_start]])
+        c_len = lengths[c_read]
+        # residue -> host cascade: wildcard graphs, reads too short for
+        # the anchor chain or longer than the unfolded table serves
+        c_fb = self._ghasN[c_g] | (c_len <= self.k) | (c_len > MAXL)
+
+        # ship only the distinct mapped reads (the metagenome case maps
+        # ~1% of a batch; at ~30 MB/s of tunnel H2D this is the whole
+        # game), padded to a coarse row bucket to bound compile count
+        uniq = np.unique(rows)
+        U = len(uniq)
+        Bb = 64
+        while Bb < U:
+            Bb *= 4
+        L = codes.shape[1]
+        sub = np.full((Bb, L), 4, np.uint8)
+        sub[:U] = codes[uniq]
+        sub_len = np.zeros(Bb, np.int32)
+        sub_len[:U] = lengths[uniq]
+        build = self._read_hash_fn(Bb, L)
+        PHf, PHr, AHf, AHr = build(jnp.asarray(sub), jnp.asarray(sub_len))
+        local_read = np.searchsorted(uniq, rows).astype(np.int64)
+
+        combo_of_pair = np.repeat(
+            np.arange(len(c_read)), combo_end - combo_start
+        )
+        pair_dev = ~c_fb[combo_of_pair]
+        dev_pairs = np.flatnonzero(pair_dev)
+
+        # flat phase-A rows over the device pairs
+        wch = wins[dev_pairs]
+        sgp = t.w_seed_grow[wch]
+        soff = t.w_off[wch].astype(np.int64)
+        slen = self.node_len[sgp].astype(np.int64)
+        sb = np.minimum(
+            t.w_span[wch].astype(np.int64), slen - 1 - soff
+        )
+        seed_ok = soff < slen
+        owner, prow, pos = self._expand_rows(sgp, None)
+        ok = seed_ok[owner]
+        owner, prow, pos = owner[ok], prow[ok], pos[ok]
+        r_pair = dev_pairs[owner]                       # global pair id
+        r_base = pos + soff[owner]
+        r_sb = sb[owner]
+        r_read = local_read[r_pair]
+        r_len = lengths[rows[r_pair]]
+
+        calls = []
+        for L0 in np.unique(r_len):
+            sel = np.flatnonzero(r_len == L0)
+            for lo in range(0, len(sel), ROW_BUCKETS[-1]):
+                part = sel[lo : lo + ROW_BUCKETS[-1]]
+                Nr = _bucket_rows(len(part))
+                a_read = np.zeros(Nr, np.int32)
+                a_prow = np.zeros(Nr, np.int32)
+                a_base = np.zeros(Nr, np.int32)
+                a_sb = np.zeros(Nr, np.int32)
+                a_valid = np.zeros(Nr, bool)
+                a_read[: len(part)] = r_read[part]
+                a_prow[: len(part)] = prow[part]
+                a_base[: len(part)] = r_base[part]
+                a_sb[: len(part)] = r_sb[part]
+                a_valid[: len(part)] = True
+                out = seed_scan(
+                    self._dev, PHf, PHr, AHf, AHr,
+                    jnp.asarray(a_read), jnp.asarray(a_prow),
+                    jnp.asarray(a_base), jnp.asarray(a_sb),
+                    jnp.asarray(a_valid),
+                    D1=self._d1, L0=int(L0), k=self.k,
+                )
+                try:
+                    out.copy_to_host_async()
+                except AttributeError:
+                    pass
+                calls.append((r_pair[part], prow[part], r_base[part], out))
+        state = {
+            "calls": calls,
+            "c_read": c_read,
+            "c_g": c_g,
+            "c_fb": c_fb,
+            "c_len": c_len,
+            "combo_start": combo_start,
+            "combo_end": combo_end,
+            "combo_of_pair": combo_of_pair,
+            "PH": (PHf, PHr, AHf, AHr),
+            "local_read": local_read,
+        }
+        return [state]
+
+    def collect_pairs(
+        self, handles, batch, rows, wins, kc_read, acc, bam_writer, stats
+    ) -> None:
+        """Drain phase A, run phase B for the undecided pairs, combine,
+        then winner selection, weight replay, byte verification, BAM
+        emission and host fallbacks (HashAligner.process_batch's tail)."""
+        if not handles:
+            return
+        st = handles[0]
+        t = self.tables
+        n_pairs = len(rows)
+        combo_start = st["combo_start"]
+        combo_end = st["combo_end"]
+        c_read, c_g, c_fb = st["c_read"], st["c_g"], st["c_fb"]
+        combo_of_pair = st["combo_of_pair"]
+        n_combos = len(c_read)
+        codes = np.asarray(batch.codes)
+        lengths = np.asarray(batch.lengths).astype(np.int64)
+        soff_pair = t.w_off[wins].astype(np.int64)
+        sg_pair = t.w_seed_grow[wins]
+
+        import time as _time
+
+        t0 = _time.time()
+        # ---- drain A: per-(pair, ori) reductions over flat rows --------
+        j1 = np.full((n_pairs, 2), INF32, np.int64)
+        s3 = np.zeros((n_pairs, 2), bool)
+        s4 = np.zeros((n_pairs, 2), bool)
+        a_rows: List[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = []
+        for r_pair, r_prow, r_base, out in st["calls"]:
+            packed = np.asarray(out)[: len(r_pair)]
+            jf = packed & 0xFF
+            jr = (packed >> 8) & 0xFF
+            fl = packed >> 16
+            a_rows.append((r_pair, r_prow, r_base, packed))
+            np.minimum.at(j1[:, 0], r_pair, np.where(jf == NONE8, INF32, jf))
+            np.minimum.at(j1[:, 1], r_pair, np.where(jr == NONE8, INF32, jr))
+            np.logical_or.at(s3[:, 0], r_pair, (fl & 1) > 0)
+            np.logical_or.at(s4[:, 0], r_pair, (fl & 2) > 0)
+            np.logical_or.at(s3[:, 1], r_pair, (fl & 4) > 0)
+            np.logical_or.at(s4[:, 1], r_pair, (fl & 8) > 0)
+        s1 = j1 < INF32
+        drainA = _time.time() - t0
+
+        # ---- phase B for undecided pairs -------------------------------
+        # The reference's priority makes stage 2 relevant only for pairs
+        # with no fwd stage-1 (fwd s2 outranks everything after fwd s1)
+        # and no pair already winning earlier in the combo. Within those,
+        # an EXACT necessary-condition prefilter kills almost all work: an
+        # interior stage-2 match requires the read's first k-window hash
+        # to exist in the index (u64 host anchor table — exact, no
+        # collisions to miss), and a dead-end tail match requires a
+        # contained-node path position within read-length+shuffles of a
+        # path end. RC-orientation junk (half of every library) fails
+        # both and never reaches the device.
+        foundA = (s1 | s3 | s4).any(axis=1)
+        winA, _nw = winners(foundA, combo_start)
+        winA_of_pair = winA[combo_of_pair]
+        idx = np.arange(n_pairs)
+        window_b = (
+            ~c_fb[combo_of_pair]
+            & ((winA_of_pair < 0) | (idx <= winA_of_pair))
+        )
+        need_f = window_b & ~s1[:, 0]
+        need_r = window_b & ~s1[:, 1] & ~(s1 | s3 | s4)[:, 0]
+        s2 = np.zeros((n_pairs, 2), bool)
+        sh_w = np.zeros((n_pairs, 2), np.int64)
+        cn_w = np.zeros((n_pairs, 2), np.int64)
+        kq_best = np.full((n_pairs, 2), INF32, np.int64)
+        b_rows: List = []
+        bp = np.flatnonzero(need_f | need_r)
+        if len(bp):
+            from ..ops.nthash import RC_CODE_NP
+
+            cand_reads = np.unique(rows[bp])
+            cr = codes[cand_reads]
+            crl = lengths[cand_reads]
+            kk = self.k
+            with np.errstate(over="ignore"):
+                vf = (
+                    (cr[:, :kk].astype(np.uint64) + np.uint64(1))
+                    * self.rpow[:kk]
+                ).sum(axis=1, dtype=np.uint64)
+                ridx = np.clip(
+                    crl[:, None] - 1 - np.arange(kk)[None, :], 0,
+                    cr.shape[1] - 1,
+                )
+                rcod = RC_CODE_NP[np.take_along_axis(cr, ridx, axis=1)]
+                vr = (
+                    (rcod.astype(np.uint64) + np.uint64(1))
+                    * self.rpow[:kk]
+                ).sum(axis=1, dtype=np.uint64)
+            A = self.anchor_hash
+
+            def present(v):
+                i = np.searchsorted(A, v)
+                return (i < len(A)) & (
+                    A[np.minimum(i, len(A) - 1)] == v
+                )
+
+            pres = np.zeros((len(codes), 2), bool)
+            pres[cand_reads, 0] = present(vf)
+            pres[cand_reads, 1] = present(vr)
+            anchor_ok = (need_f & pres[rows, 0]) | (need_r & pres[rows, 1])
+
+            PHf, PHr, AHf, AHr = st["PH"]
+            local_read = st["local_read"]
+            wb = wins[bp]
+            pflat, powner, prank = csr_expand(
+                t.cn_ptr, t.cn_cnt.astype(np.int64), wb
+            )
+            q_node = t.cn_grow[pflat]
+            q_pair = bp[powner]
+            q_rank = prank.astype(np.int64)
+            clen = self.node_len[q_node].astype(np.int64)
+            cb = np.minimum(NODE_SHUFFLES, clen - 1)
+            owner, prow, pos = self._expand_rows(q_node, None)
+            rb_pair = q_pair[owner]
+            rb_rank = q_rank[owner]
+            rb_cb = cb[owner]
+            rb_read = local_read[rb_pair]
+            rb_len = lengths[rows[rb_pair]]
+            # row filter: interior/long matches need the anchor; tail
+            # matches need the position to sit near a terminal path end
+            plen_row = self.path_len[prow].astype(np.int64)
+            tail_row = (
+                (plen_row - pos < rb_len + NODE_SHUFFLES + 1)
+                & self.tfree[prow]
+            )
+            keep = anchor_ok[rb_pair] | tail_row
+            owner, prow, pos = owner[keep], prow[keep], pos[keep]
+            rb_pair, rb_rank, rb_cb = (
+                rb_pair[keep], rb_rank[keep], rb_cb[keep],
+            )
+            rb_read, rb_len = rb_read[keep], rb_len[keep]
+            for L0 in np.unique(rb_len):
+                sel = np.flatnonzero(rb_len == L0)
+                for lo in range(0, len(sel), ROW_BUCKETS[-1]):
+                    part = sel[lo : lo + ROW_BUCKETS[-1]]
+                    Nr = _bucket_rows(len(part))
+                    a_read = np.zeros(Nr, np.int32)
+                    a_prow = np.zeros(Nr, np.int32)
+                    a_base = np.zeros(Nr, np.int32)
+                    a_cb = np.zeros(Nr, np.int32)
+                    a_valid = np.zeros(Nr, bool)
+                    a_read[: len(part)] = rb_read[part]
+                    a_prow[: len(part)] = prow[part]
+                    a_base[: len(part)] = pos[part]
+                    a_cb[: len(part)] = rb_cb[part]
+                    a_valid[: len(part)] = True
+                    out = shuffle_scan(
+                        self._dev, PHf, PHr, AHf, AHr,
+                        jnp.asarray(a_read), jnp.asarray(a_prow),
+                        jnp.asarray(a_base), jnp.asarray(a_cb),
+                        jnp.asarray(a_valid),
+                        L0=int(L0), k=self.k, W2=self._w2,
+                    )
+                    b_rows.append(
+                        (rb_pair[part], rb_rank[part], prow[part],
+                         pos[part], q_node[owner][part], out)
+                    )
+            NS1 = NODE_SHUFFLES + 1
+            for rbp, rbr, rpr, rps, rnode, out in b_rows:
+                packed = np.asarray(out)[: len(rbp)]
+                for o in (0, 1):
+                    sh = (packed >> (8 * o)) & 0xFF
+                    kq = np.where(sh == NONE8, INF32, rbr * NS1 + sh)
+                    np.minimum.at(kq_best[:, o], rbp, kq)
+            s2 = kq_best < INF32
+            sh_w = np.where(s2, kq_best % NS1, 0)
+            # winning contained node per (pair, ori): recover from rank
+            rank_w = np.where(s2, kq_best // NS1, -1)
+            # map (pair, rank) -> node via the probe arrays
+            key = q_pair * (1 << 20) + q_rank
+            order = np.argsort(key, kind="stable")
+            key_s = key[order]
+            node_s = q_node[order]
+            for o in (0, 1):
+                sel = np.flatnonzero(s2[:, o])
+                if len(sel):
+                    kk = sel * (1 << 20) + rank_w[sel, o]
+                    pos_k = np.searchsorted(key_s, kk)
+                    cn_w[sel, o] = node_s[np.clip(pos_k, 0, len(node_s) - 1)]
+
+        # ---- combine per pair ------------------------------------------
+        found_o = s1 | s2 | s3 | s4                    # [n_pairs, 2]
+        found = found_o.any(axis=1)
+        ori = np.where(found_o[:, 0], 0, 1)
+        pick = lambda a: a[idx, ori]
+        stage = np.where(
+            pick(s1), 1,
+            np.where(pick(s2), 2, np.where(pick(s3), 3, 4)),
+        )
+        win_node = np.where(
+            pick(s1), sg_pair,
+            np.where(pick(s2), pick(cn_w), sg_pair),
+        )
+        win_off = np.where(
+            pick(s1), soff_pair + pick(j1),
+            np.where(pick(s2), pick(sh_w), soff_pair),
+        )
+
+        win, n_weighted = winners(found, combo_start)
+        has_win = (win >= 0) & ~c_fb
+        fb_extra = np.zeros(n_combos, dtype=bool)
+
+        # ---- winner ids: flat rows at the winning (ori, stage, key) ----
+        wc = np.flatnonzero(has_win)
+        combo_ori = np.zeros(n_combos, np.int64)
+        combo_stage = np.zeros(n_combos, np.int64)
+        id_parts: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        if len(wc):
+            wp = win[wc]
+            combo_ori[wc] = ori[wp]
+            combo_stage[wc] = stage[wp]
+            is_winner = np.zeros(n_pairs, bool)
+            is_winner[wp] = True
+            for r_pair, r_prow, r_base, packed in a_rows:
+                pk = packed
+                w_sel = is_winner[r_pair]
+                p_ori = ori[r_pair]
+                p_stage = stage[r_pair]
+                jsel = np.where(p_ori == 0, pk & 0xFF, (pk >> 8) & 0xFF)
+                fl = pk >> 16
+                ok3r = np.where(p_ori == 0, fl & 1, fl & 4) > 0
+                ok4r = np.where(p_ori == 0, fl & 2, fl & 8) > 0
+                hit = w_sel & (
+                    ((p_stage == 1) & (jsel == pick(j1)[r_pair]))
+                    | ((p_stage == 3) & ok3r)
+                    | ((p_stage == 4) & ok4r)
+                )
+                if hit.any():
+                    hsel = np.flatnonzero(hit)
+                    off = np.where(
+                        p_stage[hsel] == 1,
+                        jsel[hsel], 0,
+                    )
+                    id_parts.append(
+                        (
+                            combo_of_pair[r_pair[hsel]],
+                            r_prow[hsel],
+                            r_base[hsel] + off,
+                        )
+                    )
+            for rbp, rbr, rpr, rps, rnode, out in b_rows:
+                packed = np.asarray(out)[: len(rbp)]
+                w_sel = is_winner[rbp] & (stage[rbp] == 2)
+                p_ori = ori[rbp]
+                sh = np.where(
+                    p_ori == 0, packed & 0xFF, (packed >> 8) & 0xFF
+                )
+                hit = (
+                    w_sel
+                    & (rbr * (NODE_SHUFFLES + 1) + sh
+                       == pick(kq_best)[rbp])
+                    & (sh != NONE8)
+                )
+                if hit.any():
+                    hsel = np.flatnonzero(hit)
+                    id_parts.append(
+                        (
+                            combo_of_pair[rbp[hsel]],
+                            rpr[hsel],
+                            rps[hsel] + sh[hsel],
+                        )
+                    )
+        if id_parts:
+            id_combo = np.concatenate([p[0] for p in id_parts])
+            id_row = np.concatenate([p[1] for p in id_parts])
+            id_pos = np.concatenate([p[2] for p in id_parts])
+            o = np.lexsort((id_pos, id_row, id_combo))
+            id_combo, id_row, id_pos = id_combo[o], id_row[o], id_pos[o]
+            dup = np.zeros(len(id_combo), bool)
+            dup[1:] = (id_combo[1:] == id_combo[:-1]) & (
+                id_row[1:] == id_row[:-1]
+            )
+            id_combo, id_row, id_pos = (
+                id_combo[~dup], id_row[~dup], id_pos[~dup],
+            )
+        else:
+            id_combo = np.empty(0, np.int64)
+            id_row = np.empty(0, np.int64)
+            id_pos = np.empty(0, np.int64)
+
+        combo_cs = (combo_stage == 3).astype(np.int16)
+        combo_ce = (combo_stage == 4).astype(np.int16)
+
+        if os.environ.get("GROOT_TIMING"):
+            log.info(
+                "\ttiming: device drainA=%.2fs callsA=%d pairsB=%d "
+                "rowsB=%d",
+                drainA, len(st["calls"]), int((need_f | need_r).sum()),
+                sum(len(br[0]) for br in b_rows),
+            )
+
+        # ---- byte verification (32-bit collision guard) -----------------
+        if len(id_combo):
+            vvar = combo_ori[id_combo] * 3 + np.where(
+                combo_cs[id_combo] == 1, 1,
+                np.where(combo_ce[id_combo] == 1, 2, 0),
+            )
+            okv = self._verify_candidates(
+                c_read[id_combo], vvar, id_row, id_pos, codes, None, lengths
+            )
+            if not okv.all():
+                bad = np.unique(id_combo[~okv])
+                fb_extra[bad] = True
+                log.warning(
+                    "device hash verification failed for %d combos; "
+                    "retrying on the host cascade", len(bad),
+                )
+        present = np.zeros(n_combos, dtype=bool)
+        present[id_combo] = True
+        missed = has_win & ~present
+        if missed.any():
+            fb_extra[missed] = True
+            log.warning(
+                "%d winning combos had no recoverable ids; host retry",
+                int(missed.sum()),
+            )
+        good = ~fb_extra[id_combo]
+        id_combo, id_row, id_pos = (
+            id_combo[good], id_row[good], id_pos[good],
+        )
+
+        # ---- weight replay ----------------------------------------------
+        all_fb = c_fb | fb_extra
+        lim = combo_start + n_weighted
+        sel = np.arange(n_pairs, dtype=np.int64) < lim[combo_of_pair]
+        sel &= ~all_fb[combo_of_pair]
+        if sel.any():
+            acc.add_pairs(wins[sel], kc_read[rows[sel]])
+
+        if len(id_combo):
+            self._emit_flat(
+                batch, c_read, id_combo, id_row, id_pos,
+                combo_ori, combo_cs, combo_ce, bam_writer, stats,
+            )
+
+        # ---- fallback combos (wildcard graphs, long/short reads, verify
+        # failures): re-run through the inherited HOST hash-join cascade —
+        # the fb subset of the sorted hit list is itself a sorted hit list
+        nfb = int(all_fb.sum())
+        if nfb:
+            log.info("\t%d combos routed to the host cascade", nfb)
+            fb_pairs = np.concatenate(
+                [
+                    np.arange(combo_start[ci], combo_end[ci])
+                    for ci in np.flatnonzero(all_fb)
+                ]
+            )
+            fb_cnt = (combo_end - combo_start)[all_fb]
+            fb_start = np.concatenate(
+                ([0], np.cumsum(fb_cnt[:-1]))
+            ).astype(np.int64)
+            fb_stats = _FbStats()
+            HashAligner.process_batch(
+                self, batch, rows[fb_pairs], wins[fb_pairs], fb_start,
+                kc_read, acc, bam_writer, fb_stats,
+            )
+            stats.alignment_count += fb_stats.alignment_count

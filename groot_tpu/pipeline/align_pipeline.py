@@ -34,6 +34,23 @@ log = logging.getLogger("groot")
 DEFAULT_BATCH = 2048
 
 
+def _select_engine() -> str:
+    """GROOT_ENGINE env override, else auto: the device probe engine when
+    an accelerator backend is up, the host hash-join on CPU."""
+    engine = os.environ.get("GROOT_ENGINE", "").strip().lower()
+    if engine:
+        if engine not in ("hash", "device", "cascade", "host", "auto"):
+            raise ValueError(f"unknown GROOT_ENGINE: {engine}")
+        if engine != "auto":
+            return engine
+    try:
+        import jax
+
+        return "device" if jax.default_backend() == "tpu" else "hash"
+    except Exception:  # jax unavailable/broken: host path works alone
+        return "hash"
+
+
 class ReadBatch:
     """A padded uint8 code batch; FastqRead records materialise lazily (only
     mapped reads ever need their id/qual bytes). Native-path batches may be
@@ -367,11 +384,7 @@ def run_align(
     # setup cache: the aligner/tables are pure functions of (index, store,
     # k, engine); repeated run_align calls on one loaded Info (API users,
     # multi-pass benchmarks) skip the ~0.25s sidecar load + table epilogue
-    engine = (
-        "host" if os.environ.get("GROOT_HOST_ALIGNER")
-        else "device" if os.environ.get("GROOT_DEVICE_ALIGNER")
-        else "hash"
-    )
+    engine = _select_engine()
     # the cache tuple pins the exact index/store objects, so the ids in the
     # key cannot be recycled by a different object while the cache lives
     rt_key = (engine, id(index), id(info.store), k, no_align)
@@ -392,13 +405,15 @@ def run_align(
             acc = WeightAccumulator(tables)
     elif not no_align:
         references = bamio.build_references(info.store)
-        # aligner selection: the hash-join aligner (v5) is the default —
-        # candidate positions from an O(log N) substring-hash join instead
-        # of brute-force match volumes. GROOT_DEVICE_ALIGNER forces the MXU
-        # cascade, GROOT_HOST_ALIGNER the legacy per-Key host path.
+        # aligner selection (GROOT_ENGINE, default auto):
+        #   hash    — host hash-join cascade (v5; CPU default)
+        #   device  — the same cascade as a jitted probe program on the
+        #             accelerator (v6; TPU default)
+        #   cascade — MXU match-volume cascade (v4; validation engine)
+        #   host    — legacy per-Key bit-volume aligner
         if engine == "host":
             aligner = GraphAligner(info.store, references)
-        elif engine == "device":
+        elif engine == "cascade":
             from ..align.batch_host import WeightAccumulator, WindowTables
             from ..align.device_cascade import DeviceAligner
 
@@ -408,9 +423,13 @@ def run_align(
             aligner.attach_tables(tables)
         else:
             from ..align.batch_host import WeightAccumulator, WindowTables
-            from ..align.hash_join import HashAligner
 
-            aligner = HashAligner(info.store, references)
+            if engine == "device":
+                from ..align.device_join import DeviceJoinAligner as _Eng
+            else:
+                from ..align.hash_join import HashAligner as _Eng
+
+            aligner = _Eng(info.store, references)
             cache = (
                 os.path.join(info.index_dir, "groot.align")
                 if info.index_dir
@@ -465,6 +484,7 @@ def run_align(
         not no_align
         and aligner is not None
         and hasattr(aligner, "process_batch")
+        and not getattr(aligner, "prefers_async", False)
         and _native.available()
         and not os.environ.get("GROOT_NO_NATIVE_CASCADE")
         and not os.environ.get("GROOT_SEQUENTIAL")
@@ -730,7 +750,9 @@ def _process_batch(
             if len(rows):
                 acc.add_pairs(wins, kc_read[rows])
             return None
-        if hasattr(aligner, "process_batch"):  # hash-join aligner (v5)
+        if hasattr(aligner, "process_batch") and not getattr(
+            aligner, "prefers_async", False
+        ):  # hash-join aligner (v5)
             aligner.process_batch(
                 batch, rows, wins, combo_start, kc_read, acc, bam_writer, stats
             )

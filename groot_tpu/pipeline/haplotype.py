@@ -12,7 +12,7 @@ import re
 from typing import Dict, List
 
 from ..config import Info
-from ..em.em import process_em_paths, run_em_on_graph
+from ..em.em import process_em_paths, run_em_on_graphs
 from ..graph.grootgraph import GrootGraph, Store
 from ..io.gfa import parse_gfa
 from ..version import get_version
@@ -46,11 +46,14 @@ def find_haplotypes(info: Info, graphs: List[GrootGraph]) -> List[str]:
     mean_iterations = 0
     kept: Store = {}
     kept_paths: List[str] = []
+    # EM over ALL graphs as one padded jit call (the reference runs one
+    # goroutine per graph, haplotype.go:95-119; here graphs are a batch dim)
     for g in graphs:
         g.remove_dead_paths()
-        run_em_on_graph(
-            g, info.haplotype.min_iterations, info.haplotype.max_iterations
-        )
+    run_em_on_graphs(
+        graphs, info.haplotype.min_iterations, info.haplotype.max_iterations
+    )
+    for g in graphs:
         process_em_paths(g, info.haplotype.cutoff, info.haplotype.total_kmers)
         mean_iterations += g.em_iterations
         if not g.paths:

@@ -33,8 +33,8 @@ def built_index(tmp_path_factory):
 
 
 def _run(built_index, tmp_path, device: bool):
-    env = "GROOT_DEVICE_ALIGNER" if device else "GROOT_HOST_ALIGNER"
-    os.environ[env] = "1"
+    env = "GROOT_ENGINE"
+    os.environ[env] = "cascade" if device else "host"
     try:
         info = Info.load(os.path.join(built_index, "groot.gg"))
         info.attach_db(

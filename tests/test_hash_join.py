@@ -33,12 +33,15 @@ def built_index(tmp_path_factory):
 
 def _run(built_index, tmp_path, engine: str):
     env = {
-        "host": "GROOT_HOST_ALIGNER",
-        "hash": None,
-        "hash-np": "GROOT_NO_NATIVE_CASCADE",
+        "host": [("GROOT_ENGINE", "host")],
+        "hash": [("GROOT_ENGINE", "hash")],
+        "hash-np": [
+            ("GROOT_ENGINE", "hash"), ("GROOT_NO_NATIVE_CASCADE", "1")
+        ],
+        "device": [("GROOT_ENGINE", "device")],
     }[engine]
-    if env:
-        os.environ[env] = "1"
+    for k, v in env:
+        os.environ[k] = v
     try:
         info = Info.load(os.path.join(built_index, "groot.gg"))
         info.attach_db(
@@ -59,8 +62,8 @@ def _run(built_index, tmp_path, engine: str):
         found = prune_graphs(info, 10)
         return stats, weights, kmer_total, found, bam_path
     finally:
-        if env:
-            os.environ.pop(env, None)
+        for k, _v in env:
+            os.environ.pop(k, None)
 
 
 def _bam_key_set(path):
@@ -71,7 +74,7 @@ def _bam_key_set(path):
     )
 
 
-@pytest.mark.parametrize("engine", ["hash", "hash-np"])
+@pytest.mark.parametrize("engine", ["hash", "hash-np", "device"])
 def test_hash_join_matches_legacy(built_index, tmp_path, engine):
     s_host, w_host, kt_host, found_host, bam_host = _run(
         built_index, tmp_path, "host"
