@@ -11,10 +11,12 @@ padded path lanes, so work is proportional to true cascade work:
 
   phase A (seed_scan): stage 1 (seed offsets 0..span) + stages 3/4
     (clipped probes) for every row — one [rows, W] gather + elementwise;
-  phase B (shuffle_scan): stage 2 (contained nodes x shuffles 0..10), run
-    ONLY for pairs phase A leaves undecided — the reference stops at the
-    first success per (read, graph), so phase B is near-empty on real
-    workloads.
+  stage 2 (contained nodes x shuffles): only pairs phase A leaves
+    undecided can need it — the reference stops at the first success per
+    (read, graph) — and an exact necessary-condition prefilter (anchor
+    presence + tail proximity) proves it impossible for almost all of
+    those; the residue re-runs on the host cascade, whose match-list join
+    touches only the read's ~10 true match positions.
 
 Exact-match tests are ANCHOR CHAINS: read[0:lb] matches the path at p iff
 the 32-bit k-window hash matches at offsets {0, k, 2k, ..., lb-k}
@@ -226,55 +228,6 @@ def seed_scan(
     return j1f | (j1r << 8) | (flags << 16)
 
 
-@partial(jax.jit, static_argnames=("L0", "k", "W2"))
-def shuffle_scan(
-    tables: dict,
-    PHf, PHr, AHf, AHr,
-    row_read,       # i32 [Nr]
-    row_prow,       # i32 [Nr] global path row
-    row_base,       # i32 [Nr] contained-node position in the path
-    row_cb,         # i32 [Nr] shuffle bound (min(NODE_SHUFFLES, clen-1))
-    row_valid,      # bool [Nr]
-    *,
-    L0: int,
-    k: int,
-    W2: int,
-):
-    """Phase B: stage 2 for (probe, path) rows of the pairs phase A left
-    undecided. Returns packed i32 [Nr]: sh_fwd | sh_rc<<8 (u8, 255=none)."""
-    T1 = tables["T1"]
-    pe2 = tables["pe2"]
-    path_len = tables["path_len"]
-    ph_start = tables["ph_start"]
-    tfree = tables["tfree"]
-    rinv1 = tables["rinv1"]
-    D = NODE_SHUFFLES + 1
-    assert W2 >= D + L0 - k + 1, "stage-2 width too narrow"
-
-    plen = path_len[row_prow]
-    s = ph_start[row_prow]
-    tf = tfree[row_prow]
-    rowT = _row_gather(T1, s + jnp.maximum(row_base, 0), W2)
-    pe_r = pe2[row_prow]
-    offs_full = _offsets(L0, k)
-    j = jnp.arange(D, dtype=jnp.int32)
-    avail = plen[:, None] - (row_base[:, None] + j)
-
-    def per_ori(PH, AH):
-        g = _chain(
-            rowT, AH[row_read], avail, 0, L0, offs_full, D, row_valid,
-            row_cb,
-        )
-        sh = jnp.min(jnp.where(g, j, INF32), axis=-1)
-        shs = _short_over(
-            pe_r, PH[row_read], row_base, plen, tf, row_valid, 0, L0,
-            row_cb, rinv1,
-        )
-        return jnp.minimum(jnp.minimum(sh, shs), NONE8).astype(jnp.int32)
-
-    return per_ori(PHf, AHf) | (per_ori(PHr, AHr) << 8)
-
-
 class DeviceJoinAligner(HashAligner):
     """HashAligner with the cascade evaluated on the accelerator.
 
@@ -285,10 +238,18 @@ class DeviceJoinAligner(HashAligner):
 
     prefers_async = True  # route through submit/collect, not process_batch
 
-    def __init__(self, store, references=None):
+    def __init__(self, store, references=None, mesh=None):
+        """`mesh` (optional jax.sharding.Mesh with a "data" axis) runs the
+        seed scan data-parallel over the mesh: the hash tables replicate,
+        the flat rows shard — the multi-chip data plane for the exact-
+        alignment stage (SURVEY §2.3 read-batch DP; rows are independent,
+        so no collectives are needed beyond the implicit all-gather of the
+        sharded output)."""
         super().__init__(store, references)
         self._dev = None
         self._d1 = 208
+        self.mesh = mesh
+        self._sharded_cache = {}
 
     # -- setup ----------------------------------------------------------
     def attach_tables(self, tables, index, k: int) -> None:
@@ -340,7 +301,6 @@ class DeviceJoinAligner(HashAligner):
                 ) * self.rinv[wv]
         ah32 = jnp.asarray(ah.astype(np.uint32).view(np.int32))
         W1 = self._d1 + (MAXL - k) + 8
-        self._w2 = NODE_SHUFFLES + 1 + (MAXL - k) + 4
 
         @partial(jax.jit, static_argnames=("W",))
         def unfold(a, W: int):
@@ -375,6 +335,28 @@ class DeviceJoinAligner(HashAligner):
         )
         # host npos lookup: row enumeration per (node, path lane)
         self._npg = np.diff(self.g_first_row).astype(np.int64)
+        # per-window min distance of any contained-node position from a
+        # terminal-free path end: gates the dead-end stage-2 tail routing
+        n_ent = len(t.cn_grow)
+        went = (
+            np.searchsorted(
+                t.cn_ptr, np.arange(n_ent), side="right"
+            ) - 1
+        )
+        wmin = np.full(t.num_windows, np.int64(1) << 40, np.int64)
+        plen64 = self.path_len.astype(np.int64)
+        for lo in range(0, n_ent, 1 << 19):
+            hi = min(lo + (1 << 19), n_ent)
+            owner_e, prow_e, pos_e = self._expand_rows(
+                t.cn_grow[lo:hi], None
+            )
+            dist = np.where(
+                self.tfree[prow_e],
+                plen64[prow_e] - pos_e,
+                np.int64(1) << 40,
+            )
+            np.minimum.at(wmin, went[lo + owner_e], dist)
+        self._w_tail_min = wmin
 
     def _read_hash_fn(self, B: int, L: int):
         """Jitted builder of the per-read tables for one batch shape:
@@ -421,6 +403,41 @@ class DeviceJoinAligner(HashAligner):
 
         self._read_hash_cache[(B, L)] = build
         return build
+
+    def _seed_scan(self, L0: int):
+        """seed_scan bound to this aligner's statics; shard_mapped over
+        the mesh's data axis when a mesh is attached."""
+        if self.mesh is None:
+            return partial(seed_scan, D1=self._d1, L0=L0, k=self.k)
+        fn = self._sharded_cache.get(L0)
+        if fn is None:
+            try:
+                from jax import shard_map
+            except ImportError:  # older jax
+                from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            d1, k = self._d1, self.k
+            rep, sh = P(), P("data")
+            try:
+                sm = shard_map(
+                    partial(seed_scan, D1=d1, L0=L0, k=k),
+                    mesh=self.mesh,
+                    in_specs=(rep, rep, rep, rep, rep, sh, sh, sh, sh, sh),
+                    out_specs=sh,
+                )
+            except TypeError:
+                from jax.experimental.shard_map import shard_map as sm2
+
+                sm = sm2(
+                    partial(seed_scan, D1=d1, L0=L0, k=k),
+                    mesh=self.mesh,
+                    in_specs=(rep, rep, rep, rep, rep, sh, sh, sh, sh, sh),
+                    out_specs=sh,
+                    check_rep=False,
+                )
+            fn = self._sharded_cache[L0] = jax.jit(sm)
+        return fn
 
     # -- row enumeration (host numpy) -----------------------------------
     def _expand_rows(self, nodes, extra):
@@ -517,12 +534,11 @@ class DeviceJoinAligner(HashAligner):
                 a_base[: len(part)] = r_base[part]
                 a_sb[: len(part)] = r_sb[part]
                 a_valid[: len(part)] = True
-                out = seed_scan(
+                out = self._seed_scan(int(L0))(
                     self._dev, PHf, PHr, AHf, AHr,
                     jnp.asarray(a_read), jnp.asarray(a_prow),
                     jnp.asarray(a_base), jnp.asarray(a_sb),
                     jnp.asarray(a_valid),
-                    D1=self._d1, L0=int(L0), k=self.k,
                 )
                 try:
                     out.copy_to_host_async()
@@ -587,17 +603,19 @@ class DeviceJoinAligner(HashAligner):
         s1 = j1 < INF32
         drainA = _time.time() - t0
 
-        # ---- phase B for undecided pairs -------------------------------
+        # ---- stage-2 routing --------------------------------------------
         # The reference's priority makes stage 2 relevant only for pairs
-        # with no fwd stage-1 (fwd s2 outranks everything after fwd s1)
-        # and no pair already winning earlier in the combo. Within those,
-        # an EXACT necessary-condition prefilter kills almost all work: an
-        # interior stage-2 match requires the read's first k-window hash
-        # to exist in the index (u64 host anchor table — exact, no
-        # collisions to miss), and a dead-end tail match requires a
-        # contained-node path position within read-length+shuffles of a
-        # path end. RC-orientation junk (half of every library) fails
-        # both and never reaches the device.
+        # with no fwd stage-1 success positioned at or before the current
+        # winner. An EXACT necessary-condition prefilter decides which of
+        # those can possibly have a stage-2 match: an interior/long match
+        # requires the read's first k-window hash to exist in the index
+        # (u64 host anchor table - exact), and a dead-end tail match
+        # requires a contained-node position within read-length+shuffles
+        # of a terminal path end (w_tail_min, precomputed per window).
+        # RC-orientation junk (half of every library) fails both. Combos
+        # still needing stage 2 re-run on the host cascade, whose
+        # match-list join evaluates exactly the read's ~10 true match
+        # positions instead of the full shuffle grid.
         foundA = (s1 | s3 | s4).any(axis=1)
         winA, _nw = winners(foundA, combo_start)
         winA_of_pair = winA[combo_of_pair]
@@ -612,7 +630,8 @@ class DeviceJoinAligner(HashAligner):
         sh_w = np.zeros((n_pairs, 2), np.int64)
         cn_w = np.zeros((n_pairs, 2), np.int64)
         kq_best = np.full((n_pairs, 2), INF32, np.int64)
-        b_rows: List = []
+        fb_extra = np.zeros(n_combos, dtype=bool)
+        n_needb = 0
         bp = np.flatnonzero(need_f | need_r)
         if len(bp):
             from ..ops.nthash import RC_CODE_NP
@@ -646,86 +665,17 @@ class DeviceJoinAligner(HashAligner):
             pres = np.zeros((len(codes), 2), bool)
             pres[cand_reads, 0] = present(vf)
             pres[cand_reads, 1] = present(vr)
-            anchor_ok = (need_f & pres[rows, 0]) | (need_r & pres[rows, 1])
-
-            PHf, PHr, AHf, AHr = st["PH"]
-            local_read = st["local_read"]
-            wb = wins[bp]
-            pflat, powner, prank = csr_expand(
-                t.cn_ptr, t.cn_cnt.astype(np.int64), wb
+            tailrisk = (
+                self._w_tail_min[wins]
+                < lengths[rows] + NODE_SHUFFLES + 1
             )
-            q_node = t.cn_grow[pflat]
-            q_pair = bp[powner]
-            q_rank = prank.astype(np.int64)
-            clen = self.node_len[q_node].astype(np.int64)
-            cb = np.minimum(NODE_SHUFFLES, clen - 1)
-            owner, prow, pos = self._expand_rows(q_node, None)
-            rb_pair = q_pair[owner]
-            rb_rank = q_rank[owner]
-            rb_cb = cb[owner]
-            rb_read = local_read[rb_pair]
-            rb_len = lengths[rows[rb_pair]]
-            # row filter: interior/long matches need the anchor; tail
-            # matches need the position to sit near a terminal path end
-            plen_row = self.path_len[prow].astype(np.int64)
-            tail_row = (
-                (plen_row - pos < rb_len + NODE_SHUFFLES + 1)
-                & self.tfree[prow]
+            needb = (
+                (need_f & pres[rows, 0])
+                | (need_r & pres[rows, 1])
+                | ((need_f | need_r) & tailrisk)
             )
-            keep = anchor_ok[rb_pair] | tail_row
-            owner, prow, pos = owner[keep], prow[keep], pos[keep]
-            rb_pair, rb_rank, rb_cb = (
-                rb_pair[keep], rb_rank[keep], rb_cb[keep],
-            )
-            rb_read, rb_len = rb_read[keep], rb_len[keep]
-            for L0 in np.unique(rb_len):
-                sel = np.flatnonzero(rb_len == L0)
-                for lo in range(0, len(sel), ROW_BUCKETS[-1]):
-                    part = sel[lo : lo + ROW_BUCKETS[-1]]
-                    Nr = _bucket_rows(len(part))
-                    a_read = np.zeros(Nr, np.int32)
-                    a_prow = np.zeros(Nr, np.int32)
-                    a_base = np.zeros(Nr, np.int32)
-                    a_cb = np.zeros(Nr, np.int32)
-                    a_valid = np.zeros(Nr, bool)
-                    a_read[: len(part)] = rb_read[part]
-                    a_prow[: len(part)] = prow[part]
-                    a_base[: len(part)] = pos[part]
-                    a_cb[: len(part)] = rb_cb[part]
-                    a_valid[: len(part)] = True
-                    out = shuffle_scan(
-                        self._dev, PHf, PHr, AHf, AHr,
-                        jnp.asarray(a_read), jnp.asarray(a_prow),
-                        jnp.asarray(a_base), jnp.asarray(a_cb),
-                        jnp.asarray(a_valid),
-                        L0=int(L0), k=self.k, W2=self._w2,
-                    )
-                    b_rows.append(
-                        (rb_pair[part], rb_rank[part], prow[part],
-                         pos[part], q_node[owner][part], out)
-                    )
-            NS1 = NODE_SHUFFLES + 1
-            for rbp, rbr, rpr, rps, rnode, out in b_rows:
-                packed = np.asarray(out)[: len(rbp)]
-                for o in (0, 1):
-                    sh = (packed >> (8 * o)) & 0xFF
-                    kq = np.where(sh == NONE8, INF32, rbr * NS1 + sh)
-                    np.minimum.at(kq_best[:, o], rbp, kq)
-            s2 = kq_best < INF32
-            sh_w = np.where(s2, kq_best % NS1, 0)
-            # winning contained node per (pair, ori): recover from rank
-            rank_w = np.where(s2, kq_best // NS1, -1)
-            # map (pair, rank) -> node via the probe arrays
-            key = q_pair * (1 << 20) + q_rank
-            order = np.argsort(key, kind="stable")
-            key_s = key[order]
-            node_s = q_node[order]
-            for o in (0, 1):
-                sel = np.flatnonzero(s2[:, o])
-                if len(sel):
-                    kk = sel * (1 << 20) + rank_w[sel, o]
-                    pos_k = np.searchsorted(key_s, kk)
-                    cn_w[sel, o] = node_s[np.clip(pos_k, 0, len(node_s) - 1)]
+            n_needb = int(needb.sum())
+            fb_extra[np.unique(combo_of_pair[needb])] = True
 
         # ---- combine per pair ------------------------------------------
         found_o = s1 | s2 | s3 | s4                    # [n_pairs, 2]
@@ -746,8 +696,7 @@ class DeviceJoinAligner(HashAligner):
         )
 
         win, n_weighted = winners(found, combo_start)
-        has_win = (win >= 0) & ~c_fb
-        fb_extra = np.zeros(n_combos, dtype=bool)
+        has_win = (win >= 0) & ~c_fb & ~fb_extra
 
         # ---- winner ids: flat rows at the winning (ori, stage, key) ----
         wc = np.flatnonzero(has_win)
@@ -787,28 +736,6 @@ class DeviceJoinAligner(HashAligner):
                             r_base[hsel] + off,
                         )
                     )
-            for rbp, rbr, rpr, rps, rnode, out in b_rows:
-                packed = np.asarray(out)[: len(rbp)]
-                w_sel = is_winner[rbp] & (stage[rbp] == 2)
-                p_ori = ori[rbp]
-                sh = np.where(
-                    p_ori == 0, packed & 0xFF, (packed >> 8) & 0xFF
-                )
-                hit = (
-                    w_sel
-                    & (rbr * (NODE_SHUFFLES + 1) + sh
-                       == pick(kq_best)[rbp])
-                    & (sh != NONE8)
-                )
-                if hit.any():
-                    hsel = np.flatnonzero(hit)
-                    id_parts.append(
-                        (
-                            combo_of_pair[rbp[hsel]],
-                            rpr[hsel],
-                            rps[hsel] + sh[hsel],
-                        )
-                    )
         if id_parts:
             id_combo = np.concatenate([p[0] for p in id_parts])
             id_row = np.concatenate([p[1] for p in id_parts])
@@ -832,10 +759,9 @@ class DeviceJoinAligner(HashAligner):
 
         if os.environ.get("GROOT_TIMING"):
             log.info(
-                "\ttiming: device drainA=%.2fs callsA=%d pairsB=%d "
-                "rowsB=%d",
-                drainA, len(st["calls"]), int((need_f | need_r).sum()),
-                sum(len(br[0]) for br in b_rows),
+                "\ttiming: device drainA=%.2fs callsA=%d stage2_pairs=%d "
+                "stage2_combos=%d",
+                drainA, len(st["calls"]), n_needb, int(fb_extra.sum()),
             )
 
         # ---- byte verification (32-bit collision guard) -----------------

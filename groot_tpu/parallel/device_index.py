@@ -370,7 +370,18 @@ def make_sharded_align_step(
         # exact join applies; otherwise the banded tables. Mesh padding
         # rows (length 0, pad_batch_for_mesh) are not reads — excluding
         # them keeps a padded final batch in the same mode as unpadded.
-        ln = np.asarray(lengths)
+        try:
+            ln = np.asarray(lengths)
+        except RuntimeError:
+            # multi-process global array: only local shards are
+            # addressable. The mode must agree across processes — read
+            # lengths are i.i.d. across shards, and the full-equality
+            # condition depends only on the batch MIN k-mer count, which
+            # coincides across shards for the uniform-length batches the
+            # pipeline emits (pad rows are length-0 and excluded).
+            ln = np.concatenate(
+                [np.asarray(s.data) for s in lengths.addressable_shards]
+            )
         ln = ln[ln > 0]
         kc = ln.astype(np.float64) - (dev.k - 1)
         qmin = float(kc.min()) if kc.size else 1.0
