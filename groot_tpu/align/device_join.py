@@ -336,27 +336,50 @@ class DeviceJoinAligner(HashAligner):
         # host npos lookup: row enumeration per (node, path lane)
         self._npg = np.diff(self.g_first_row).astype(np.int64)
         # per-window min distance of any contained-node position from a
-        # terminal-free path end: gates the dead-end stage-2 tail routing
+        # terminal-free path end (gates the dead-end stage-2 tail
+        # routing): computed per NODE first (the node->path expansion is
+        # ~100x smaller than the per-cn-entry one), then min-reduced over
+        # each window's contained nodes
+        INF40 = np.int64(1) << 40
+        plen64 = self.path_len.astype(np.int64)
+        owner_n, prow_n, pos_n = self._expand_rows(
+            np.arange(len(self.node_len), dtype=np.int64), None
+        )
+        dist_n = np.where(
+            self.tfree[prow_n], plen64[prow_n] - pos_n, INF40
+        )
+        node_tail = np.full(len(self.node_len), INF40, np.int64)
+        np.minimum.at(node_tail, owner_n, dist_n)
         n_ent = len(t.cn_grow)
         went = (
             np.searchsorted(
                 t.cn_ptr, np.arange(n_ent), side="right"
             ) - 1
         )
-        wmin = np.full(t.num_windows, np.int64(1) << 40, np.int64)
-        plen64 = self.path_len.astype(np.int64)
-        for lo in range(0, n_ent, 1 << 19):
-            hi = min(lo + (1 << 19), n_ent)
-            owner_e, prow_e, pos_e = self._expand_rows(
-                t.cn_grow[lo:hi], None
-            )
-            dist = np.where(
-                self.tfree[prow_e],
-                plen64[prow_e] - pos_e,
-                np.int64(1) << 40,
-            )
-            np.minimum.at(wmin, went[lo + owner_e], dist)
+        wmin = np.full(t.num_windows, INF40, np.int64)
+        np.minimum.at(wmin, went, node_tail[t.cn_grow])
         self._w_tail_min = wmin
+        # per-window (seed -> path rows) CSR: stage-A row packing becomes
+        # pure gathers at batch time
+        wrp_parts, wrr_parts, wro_parts = [], [], []
+        wr_cnt = np.zeros(t.num_windows, np.int64)
+        NW = t.num_windows
+        for lo in range(0, NW, 1 << 17):
+            hi = min(lo + (1 << 17), NW)
+            owner_w, prow_w, pos_w = self._expand_rows(
+                t.w_seed_grow[lo:hi], None
+            )
+            np.add.at(wr_cnt, lo + owner_w, 1)
+            wrr_parts.append(prow_w.astype(np.int32))
+            wro_parts.append(pos_w.astype(np.int32))
+        self._wr_cnt = wr_cnt
+        self._wr_ptr = np.concatenate(([0], np.cumsum(wr_cnt)))
+        self._wr_prow = (
+            np.concatenate(wrr_parts) if wrr_parts else np.empty(0, np.int32)
+        )
+        self._wr_pos = (
+            np.concatenate(wro_parts) if wro_parts else np.empty(0, np.int32)
+        )
 
     def _read_hash_fn(self, B: int, L: int):
         """Jitted builder of the per-read tables for one batch shape:
@@ -500,7 +523,9 @@ class DeviceJoinAligner(HashAligner):
         pair_dev = ~c_fb[combo_of_pair]
         dev_pairs = np.flatnonzero(pair_dev)
 
-        # flat phase-A rows over the device pairs
+        # flat phase-A rows over the device pairs: the (window -> seed
+        # rows) expansion is index-static, precomputed at setup as a CSR
+        # (per batch this is one repeat + three gathers)
         wch = wins[dev_pairs]
         sgp = t.w_seed_grow[wch]
         soff = t.w_off[wch].astype(np.int64)
@@ -509,9 +534,13 @@ class DeviceJoinAligner(HashAligner):
             t.w_span[wch].astype(np.int64), slen - 1 - soff
         )
         seed_ok = soff < slen
-        owner, prow, pos = self._expand_rows(sgp, None)
-        ok = seed_ok[owner]
-        owner, prow, pos = owner[ok], prow[ok], pos[ok]
+        sel_w = np.flatnonzero(seed_ok)
+        pflat, owner_l, _rank = csr_expand(
+            self._wr_ptr, self._wr_cnt, wch[sel_w]
+        )
+        owner = sel_w[owner_l]
+        prow = self._wr_prow[pflat].astype(np.int64)
+        pos = self._wr_pos[pflat].astype(np.int64)
         r_pair = dev_pairs[owner]                       # global pair id
         r_base = pos + soff[owner]
         r_sb = sb[owner]
