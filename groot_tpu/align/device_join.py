@@ -234,7 +234,11 @@ class DeviceJoinAligner(HashAligner):
     Setup (tables, sidecar load, byte verification, host fallback, BAM
     emission) is inherited; only the staged winner evaluation is replaced
     by the jitted scan kernels. submit_pairs/collect_pairs let the
-    pipeline overlap device compute of batch i with host work on i-1."""
+    sequential pipeline overlap device compute of batch i with host work
+    on i-1 (prefers_async); the pooled multi-worker path is NOT used —
+    concurrent dispatch through the axon tunnel client deadlocks (two
+    workers in jax dispatch/drain at once), so the device engine runs the
+    1-deep async pipeline instead."""
 
     prefers_async = True  # route through submit/collect, not process_batch
 

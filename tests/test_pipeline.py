@@ -180,3 +180,33 @@ def test_run_align_setup_cache_reuse(built_index, tmp_path):
     assert getattr(info, "_align_rt", None) is not None
     reloaded = Info.load(str(tmp_path / "roundtrip.gg"))
     assert not hasattr(reloaded, "_align_rt")
+
+
+def test_batched_em_equals_per_graph():
+    """run_em_on_graphs (one padded jit call over the graph axis) must
+    reproduce run_em_on_graph lane for lane — same iteration counts and
+    alphas — including graphs of different ec/path shapes in one batch."""
+    import copy
+
+    import numpy as np
+
+    from __graft_entry__ import _tiny_index
+    from groot_tpu.em.em import run_em_on_graph, run_em_on_graphs
+
+    info, _index = _tiny_index()
+    graphs = list(info.store.values())
+    rng = np.random.default_rng(9)
+    for g in graphs:
+        for node in g.sorted_nodes:
+            node.kmer_freq = float(rng.integers(0, 500))
+    singles = copy.deepcopy(graphs)
+    for g in singles:
+        run_em_on_graph(g, 10, 2000)
+    run_em_on_graphs(graphs, 10, 2000)
+    for g, s in zip(graphs, singles):
+        assert g.em_iterations == s.em_iterations, g.graph_id
+        assert set(g.alpha) == set(s.alpha)
+        for pid, a in s.alpha.items():
+            assert abs(g.alpha[pid] - a) <= 1e-5 * max(1.0, abs(a)), (
+                g.graph_id, pid,
+            )
