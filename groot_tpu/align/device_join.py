@@ -48,7 +48,7 @@ from __future__ import annotations
 import logging
 import os
 from functools import partial
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -347,7 +347,7 @@ class DeviceJoinAligner(HashAligner):
         INF40 = np.int64(1) << 40
         plen64 = self.path_len.astype(np.int64)
         owner_n, prow_n, pos_n = self._expand_rows(
-            np.arange(len(self.node_len), dtype=np.int64), None
+            np.arange(len(self.node_len), dtype=np.int64)
         )
         dist_n = np.where(
             self.tfree[prow_n], plen64[prow_n] - pos_n, INF40
@@ -370,9 +370,7 @@ class DeviceJoinAligner(HashAligner):
         NW = t.num_windows
         for lo in range(0, NW, 1 << 17):
             hi = min(lo + (1 << 17), NW)
-            owner_w, prow_w, pos_w = self._expand_rows(
-                t.w_seed_grow[lo:hi], None
-            )
+            owner_w, prow_w, pos_w = self._expand_rows(t.w_seed_grow[lo:hi])
             np.add.at(wr_cnt, lo + owner_w, 1)
             wrr_parts.append(prow_w.astype(np.int32))
             wro_parts.append(pos_w.astype(np.int32))
@@ -467,10 +465,9 @@ class DeviceJoinAligner(HashAligner):
         return fn
 
     # -- row enumeration (host numpy) -----------------------------------
-    def _expand_rows(self, nodes, extra):
-        """(mapping-like item, node) -> flat (item, path) rows where the
-        node lies on the path: returns (owner, prow, pos) with pos >= 0.
-        `extra` broadcasts per-item values onto the rows."""
+    def _expand_rows(self, nodes):
+        """(item, node) -> flat (item, path) rows where the node lies on
+        the path: returns (owner, prow, pos) with pos >= 0."""
         gi = self.node_g[nodes]
         npg = self._npg[gi]
         total = int(npg.sum())
