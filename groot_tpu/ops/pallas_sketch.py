@@ -195,6 +195,20 @@ def _kernel(
         out_lo_ref[:, slot : slot + 1] = mlo
 
 
+_ON_TPU = None
+
+
+def _on_accel() -> bool:
+    """Cached accelerator check: jax.default_backend() takes the (axon)
+    client lock, which deadlocks when an ingest worker thread asks while
+    the main thread is in dispatch/drain — resolve it once, on the main
+    thread, and never again."""
+    global _ON_TPU
+    if _ON_TPU is None:
+        _ON_TPU = jax.default_backend() not in ("cpu", "METAL")
+    return _ON_TPU
+
+
 def sketch_reads(codes, valid_len, k: int, s: int, prescreen=None):
     """Batch sketching with automatic backend dispatch. Default is the
     batched host path (numpy prefix-XOR scans, ~0.1s per 4k reads): the
@@ -207,7 +221,7 @@ def sketch_reads(codes, valid_len, k: int, s: int, prescreen=None):
 
     import numpy as _np
 
-    on_tpu = jax.default_backend() not in ("cpu", "METAL")
+    on_tpu = _on_accel()
     if not (on_tpu and _os.environ.get("GROOT_DEVICE_SKETCH")):
         from ..io import native as _native
 
@@ -246,7 +260,7 @@ def sketch_reads_u64(codes, valid_len, k: int, s: int, prescreen=None):
 
     import numpy as _np
 
-    on_tpu = jax.default_backend() not in ("cpu", "METAL")
+    on_tpu = _on_accel()
     if on_tpu and _os.environ.get("GROOT_DEVICE_SKETCH"):
         return None
     from ..io import native as _native

@@ -468,6 +468,20 @@ def run_align(
         batches = batch_reads(
             stream_fastq(fastq, fasta=info.sketch.fasta), batch_size
         )
+    if (
+        tables is not None
+        and getattr(aligner, "prefers_async", False)
+        and not no_align
+    ):
+        # async (device) engine: sketch+query are host-native — run them
+        # on the ingest thread so the main thread only submits/collects.
+        # Resolve the backend flag on the MAIN thread first: the resolver
+        # takes the (axon) client lock and must never run concurrently
+        # with the main thread's dispatch/drain.
+        from ..ops.pallas_sketch import _on_accel
+
+        _on_accel()
+        batches = _map_hits(batches, info, k, s, t, tables, batch_size)
     batches = _prefetch(batches, depth=2)
 
     raw_count = 0
@@ -694,6 +708,54 @@ def _pad_batch(batch: ReadBatch, batch_size: int, k: int) -> None:
     batch.codes, batch.lengths, batch.n_valid = codes, lengths, n
 
 
+def _prescreen_for(info, batch, kmer_counts, t):
+    """slot-0 prescreen handle when the full-equality mode applies."""
+    if info.db.full_equality_applies(
+        kmer_counts[: batch.n_valid], t
+    ) and not os.environ.get("GROOT_NO_PRESCREEN"):
+        return info.db.slot0_prescreen()
+    return None
+
+
+def _compute_hits(info, batch, kmer_counts, k, s, t, tables):
+    """sketch -> LSH query -> sorted hit list for one padded batch. Pure
+    host-native/numpy (no jax), so it can run on the ingest worker thread
+    overlapped with the device engine's submit/collect on the main thread
+    (the axon client tolerates only one thread in dispatch/drain)."""
+    from ..align.batch_host import sort_hits
+    from ..ops.pallas_sketch import sketch_reads, sketch_reads_u64
+
+    prescreen = _prescreen_for(info, batch, kmer_counts, t)
+    # native u64 fast path: sketch + query share the u64 sketches with no
+    # hi/lo split or recombination passes
+    u64 = sketch_reads_u64(batch.codes, batch.lengths, k, s, prescreen)
+    if u64 is not None:
+        rows, wins = info.db.query_batch_np(
+            None, None, kmer_counts, t,
+            q64=u64, prescreened=prescreen is not None,
+        )
+    else:
+        hi, lo = sketch_reads(batch.codes, batch.lengths, k, s, prescreen)
+        rows, wins = info.db.query_batch_np(hi, lo, kmer_counts, t)
+    keep = rows < batch.n_valid
+    return sort_hits(tables, rows[keep], wins[keep])
+
+
+def _map_hits(batches, info, k, s, t, tables, batch_size):
+    """Ingest-side stage for the async device engine: pad each batch to
+    the pipeline shape and attach its precomputed hit list, so the main
+    thread only runs the cascade submit/collect."""
+    for batch in batches:
+        if batch.n < batch_size:
+            _pad_batch(batch, batch_size, k)
+        kmer_counts = (batch.lengths - k + 1).astype(np.int32)
+        if not (batch.lengths[: batch.n_valid] < k).any():
+            batch._hits = _compute_hits(
+                info, batch, kmer_counts, k, s, t, tables
+            )
+        yield batch
+
+
 def _process_batch(
     info, batch, aligner, bam_writer, stats, k, s, t, tables=None, acc=None
 ):
@@ -708,36 +770,18 @@ def _process_batch(
 
     t0 = _time.time()
     kmer_counts = (batch.lengths - k + 1).astype(np.int32)
-    # slot-0 prescreen: when the query will demand all-slot equality
-    # (t=0.99 full-equality mode), reads whose slot-0 min-hash misses the
-    # index can skip the other s-1 multihash slots -- ~99% of a typical
-    # metagenome never seeds
-    prescreen = None
-    if info.db.full_equality_applies(
-        kmer_counts[: batch.n_valid], t
-    ) and not os.environ.get("GROOT_NO_PRESCREEN"):
-        prescreen = info.db.slot0_prescreen()
 
     if tables is not None:
         # vectorized flat-hit path: one D2H sync for the hit list, then all
         # per-hit bookkeeping is numpy (batch_host) + the device cascade
-        from ..align.batch_host import sort_hits
-
-        # native u64 fast path: sketch + query share the u64 sketches
-        # with no hi/lo split or recombination passes
-        u64 = sketch_reads_u64(batch.codes, batch.lengths, k, s, prescreen)
-        if u64 is not None:
-            rows, wins = info.db.query_batch_np(
-                None, None, kmer_counts, t,
-                q64=u64, prescreened=prescreen is not None,
-            )
+        pre = getattr(batch, "_hits", None)
+        if pre is not None:
+            rows, wins, combo_start = pre  # computed on the ingest thread
         else:
-            hi, lo = sketch_reads(batch.codes, batch.lengths, k, s, prescreen)
-            rows, wins = info.db.query_batch_np(hi, lo, kmer_counts, t)
-        keep = rows < batch.n_valid
-        rows, wins = rows[keep], wins[keep]
+            rows, wins, combo_start = _compute_hits(
+                info, batch, kmer_counts, k, s, t, tables
+            )
         stats.received += batch.n_valid
-        rows, wins, combo_start = sort_hits(tables, rows, wins)
         if len(rows):
             graphs_per_read = np.bincount(
                 rows[combo_start], minlength=batch.n_valid
@@ -773,7 +817,10 @@ def _process_batch(
         return (batch, calls, rows, wins, kc_read)
 
     # hi/lo stay on device: query_batch feeds them straight into the jitted
-    # LSH lookup (a np.asarray here would bounce them D2H then H2D)
+    # LSH lookup (a np.asarray here would bounce them D2H then H2D).
+    # slot-0 prescreen: reads whose slot-0 min-hash misses the index skip
+    # the other s-1 multihash slots (~99% of a typical metagenome)
+    prescreen = _prescreen_for(info, batch, kmer_counts, t)
     hi, lo = sketch_reads(batch.codes, batch.lengths, k, s, prescreen)
     results = info.db.query_batch(hi, lo, kmer_counts, t)
     t1 = _time.time()
