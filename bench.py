@@ -187,7 +187,8 @@ def main() -> int:
         return best, stats
 
     dense_reads = [READS] * args.repeat
-    dense_batch = args.batchSize or 8192
+    dense_batch = args.batchSize or 8192        # host pipelines best at 8k
+    dense_batch_dev = args.batchSize or 32768   # device amortizes RTT/H2D
     mix_batch = args.batchSize or 131072
 
     sec = {}
@@ -200,7 +201,7 @@ def main() -> int:
     )
     dense_auto = dense_host
     if on_tpu:
-        dense_dev, st = measure("device", dense_reads, dense_batch, 3)
+        dense_dev, st = measure("device", dense_reads, dense_batch_dev, 3)
         sec["arg_dense_device_engine"] = round(dense_dev, 1)
         dense_auto = dense_dev
         print(
