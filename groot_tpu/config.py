@@ -40,8 +40,11 @@ class HaploCmd:
 class Info:
     version: str = field(default_factory=get_version)
     # host worker parallelism (the reference's -p; its default is 1, ours
-    # is the machine — the batch pipeline is sized for all host cores)
-    num_proc: int = field(default_factory=lambda: os.cpu_count() or 1)
+    # is the machine — the batch pipeline is sized for all host cores).
+    # 0 means "unset": resolved to os.cpu_count() at load/use time, so an
+    # EXPLICIT num_proc=1 (bounding CPU on a shared host) survives a
+    # dump/load round-trip instead of being clobbered to the machine size.
+    num_proc: int = 0
     profiling: bool = False
     kmer_size: int = 31
     sketch_size: int = 21
@@ -83,9 +86,8 @@ class Info:
             info = pickle.load(fh)
         if not isinstance(info, cls):
             raise ValueError(f"not a groot_tpu Info artifact: {path}")
-        # migrate: a groot.gg pickled by an older build carries num_proc=1,
-        # which would silently single-thread the align pool for API users
-        # (the CLI overwrites num_proc from -p). Treat <=1/missing as unset.
-        if getattr(info, "num_proc", 0) <= 1:
+        # resolve "unset" (0 or a pre-r4 pickle missing the field) to the
+        # machine size; an explicit value — including 1 — is kept as-is
+        if getattr(info, "num_proc", 0) == 0:
             info.num_proc = os.cpu_count() or 1
         return info

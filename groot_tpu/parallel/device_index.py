@@ -370,21 +370,32 @@ def make_sharded_align_step(
         # exact join applies; otherwise the banded tables. Mesh padding
         # rows (length 0, pad_batch_for_mesh) are not reads — excluding
         # them keeps a padded final batch in the same mode as unpadded.
+        multiproc = False
         try:
             ln = np.asarray(lengths)
         except RuntimeError:
             # multi-process global array: only local shards are
-            # addressable. The mode must agree across processes — read
-            # lengths are i.i.d. across shards, and the full-equality
-            # condition depends only on the batch MIN k-mer count, which
-            # coincides across shards for the uniform-length batches the
-            # pipeline emits (pad rows are length-0 and excluded).
+            # addressable. The mode MUST agree across processes (different
+            # compiled programs against one global mesh can deadlock if
+            # collective usage ever diverges), so the local min k-mer
+            # count is globally reduced below before choosing full_eq.
+            multiproc = True
             ln = np.concatenate(
                 [np.asarray(s.data) for s in lengths.addressable_shards]
             )
         ln = ln[ln > 0]
         kc = ln.astype(np.float64) - (dev.k - 1)
-        qmin = float(kc.min()) if kc.size else 1.0
+        qmin = float(kc.min()) if kc.size else np.inf
+        if multiproc and jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            qmin = float(
+                multihost_utils.process_allgather(
+                    np.float64(qmin), tiled=False
+                ).min()
+            )
+        if not np.isfinite(qmin):
+            qmin = 1.0
         bound = s * threshold * qmin / (qmin + d - threshold * qmin)
         full_eq = bool(bound >= s - 1)
         fn = steps.get(full_eq)

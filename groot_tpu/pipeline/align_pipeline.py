@@ -635,6 +635,7 @@ def _run_align_pooled(
         int(
             os.environ.get("GROOT_WORKERS", "")
             or getattr(info, "num_proc", 0)
+            or os.cpu_count()
             or 2
         ),
         1,

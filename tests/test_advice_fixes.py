@@ -141,14 +141,19 @@ def test_stale_sidecar_not_retained(built_index, tmp_path):
 
 
 def test_info_load_migrates_num_proc(tmp_path):
-    """Round-3 advice: a groot.gg carrying num_proc<=1 (older builds'
-    default) must not silently single-thread API users' align pool."""
+    """Round-4 advice: unset num_proc (0/missing) resolves to the machine
+    at load, but an EXPLICIT num_proc=1 (deliberate single-threading on a
+    shared host) survives a dump/load round-trip."""
     info = Info(kmer_size=7, sketch_size=4, window_size=20)
-    info.num_proc = 1
     p = str(tmp_path / "groot.gg")
+    info.dump(p)  # default num_proc=0 == unset
+    assert Info.load(p).num_proc == (os.cpu_count() or 1)
+    info.num_proc = 1
     info.dump(p)
-    loaded = Info.load(p)
-    assert loaded.num_proc == (os.cpu_count() or 1)
+    assert Info.load(p).num_proc == 1
+    info.num_proc = 7
+    info.dump(p)
+    assert Info.load(p).num_proc == 7
 
 
 def test_bgzf_writer_error_propagates():
