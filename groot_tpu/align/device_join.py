@@ -24,6 +24,13 @@ the 32-bit k-window hash matches at offsets {0, k, 2k, ..., lb-k}
 Path-side window hashes live in the unfolded table T1 [flat position,
 lane j] so each row needs ONE row gather — the only fast arbitrary-index
 load on a TPU (tools/gather_bench.py: row gathers ~100x scalar gathers).
+Read length is a PER-ROW ARRAY, not a static: the anchor ladder is the
+static multiples of k with per-row "required" masks, and the final
+(read-length-dependent) tail anchor exploits the unfold identity
+T1[p, w] == ah[p + w] — a dynamic per-row COLUMN shift becomes a second
+fast ROW gather at flat position p + (lb-1-k). One compiled program
+serves every read length in a batch (quality-trimmed libraries have many;
+a per-length jit would compile per distinct length — r4 advisor finding).
 The hash field is the LOW 32 BITS of the host engine's mod-2^64 polynomial
 hash (mod 2^32 is a ring homomorphism, so device tables are host tables
 truncated). Every winning record is byte-verified on the host by the same
@@ -32,10 +39,9 @@ false accept can only cause a logged per-combo fallback, never a wrong
 record.
 
 Overhang past a terminal-free path end (dead-end DFS partials,
-alignment.go:229): anchors gate to in-path windows; tails shorter than k
-are certified by the PE2 path-tail-hash table; the <= k-1 bases just
-before the path end of a long overhang are certified only by the host
-verify.
+alignment.go:229): anchors gate to in-path windows; every overhang tail
+(avail < lb <= MAXL) is one certified PE2 path-tail-hash compare
+(KA = MAXL lanes), so there is no partially-certified region.
 
 Wildcards: a path 'N' matches any read base, which equality hashing cannot
 express; combos whose graph contains any path-N run on the inherited host
@@ -85,13 +91,13 @@ def _bucket_rows(n: int) -> int:
     return -(-n // ROW_BUCKETS[-1]) * ROW_BUCKETS[-1]
 
 
-def _offsets(lb: int, k: int):
-    """Anchor window starts certifying read[0:lb]: consecutive gaps <= k,
-    so matching every k-window at these offsets == exact equality."""
-    offs = list(range(0, max(lb - k, 0) + 1, k))
-    if offs[-1] != lb - k and lb - k > 0:
-        offs.append(lb - k)
-    return tuple(offs)
+def _offsets(lcap: int, k: int):
+    """Static anchor-ladder window starts (multiples of k). An anchor at o
+    is REQUIRED for a row with variant length lbv iff o < lbv - k; the
+    ladder plus the per-row dynamic tail anchor at lbv - k certifies
+    read[0:lbv] exactly (consecutive anchor gaps <= k => full equality,
+    ~2^-32 false accept per anchor)."""
+    return tuple(range(0, max(min(lcap, MAXL) - k, 1), k))
 
 
 def _row_gather(table, idx, width: int):
@@ -114,24 +120,13 @@ def _row_gather(table, idx, width: int):
     return out.reshape(*shape, width)
 
 
-def _chain(rowT, ah_row, avail, cs, lb, offs, D, ok_r, bound):
-    """Anchor-chain INTERIOR match grid over j = 0..D-1: true where the
-    (cs, lb) read variant exactly matches fully inside the path. Overhang
-    matches are _short_over's job (one tail-hash compare each)."""
-    j = jnp.arange(D, dtype=jnp.int32)
-    ok = jnp.ones(avail.shape, dtype=bool)
-    for o in offs:
-        ok &= rowT[:, o : o + D] == ah_row[:, cs + o][:, None]
-    ok &= (avail >= lb) & ok_r[:, None] & (j <= bound[:, None])
-    return ok
-
-
-def _short_over(pe_r, ph_row, base, plen_r, tf_r, ok_r, cs, lb, bound,
+def _short_over(pe_r, ph_row, base, plen_r, tf_r, ok_r, cs, lbv, bound,
                 rinv1):
     """Overhang candidates on the tail axis (a = matched bases =
-    plen - pos, a < lb): min stage offset j = plen - base - a over exact
+    plen - pos, a < lbv): min stage offset j = plen - base - a over exact
     tail-hash matches on terminal-free rows, INF if none. One compare per
-    candidate — the read prefix hash vs the PE2 path-tail hash."""
+    candidate — the read prefix hash vs the PE2 path-tail hash. `lbv` is
+    the per-row variant length array."""
     ka = jnp.arange(KA, dtype=jnp.int32)
     rhs = (
         ph_row[:, cs : cs + KA] - ph_row[:, cs : cs + 1]
@@ -140,7 +135,7 @@ def _short_over(pe_r, ph_row, base, plen_r, tf_r, ok_r, cs, lb, bound,
     j_cand = plen_r[:, None] - base[:, None] - ka
     ok &= (
         (ka >= 1)
-        & (ka <= lb - 1)
+        & (ka <= lbv[:, None] - 1)
         & (j_cand >= 0)
         & (j_cand <= bound[:, None])
         & tf_r[:, None]
@@ -149,7 +144,7 @@ def _short_over(pe_r, ph_row, base, plen_r, tf_r, ok_r, cs, lb, bound,
     return jnp.min(jnp.where(ok, j_cand, INF32), axis=-1)
 
 
-@partial(jax.jit, static_argnames=("D1", "L0", "k"))
+@partial(jax.jit, static_argnames=("D1", "k", "offs"))
 def seed_scan(
     tables: dict,
     PHf,            # i32 [B, WPH] fwd prefix hashes (device-resident)
@@ -160,62 +155,90 @@ def seed_scan(
     row_prow,       # i32 [Nr] global path row
     row_base,       # i32 [Nr] seed position in the path (spos + offset)
     row_sb,         # i32 [Nr] stage-1 offset bound (min(span, slen-1-off))
+    row_lb,         # i32 [Nr] read length of the row's read (k < lb <= MAXL)
     row_valid,      # bool [Nr]
     *,
     D1: int,
-    L0: int,        # exact read length of every row in this call
     k: int,
+    offs: tuple,    # static anchor ladder (_offsets of the batch L cap)
 ):
-    """Phase A: stages 1, 3 and 4 for every (mapping, path) row. Returns
-    packed i32 [Nr]: j1_fwd | j1_rc<<8 | flags<<16 with j1 as u8
-    (255 = no stage-1 match) and flags bits (s3f, s4f, s3r, s4r)."""
+    """Phase A: stages 1, 3 and 4 for every (mapping, path) row, any mix of
+    read lengths. Returns packed i32 [Nr]: j1_fwd | j1_rc<<8 | flags<<16
+    with j1 as u8 (255 = no stage-1 match) and flags bits
+    (s3f, s4f, s3r, s4r)."""
     T1 = tables["T1"]
     pe2 = tables["pe2"]
     path_len = tables["path_len"]
     ph_start = tables["ph_start"]
     tfree = tables["tfree"]
     rinv1 = tables["rinv1"]
-    W1 = T1.shape[1]
-    assert W1 >= D1 + L0 - k + 1, "T1 too narrow for this read length"
+    Lh = AHf.shape[1]  # read anchor lanes (= batch code width + 1 - k)
     assert D1 <= NONE8 - 1, "stage-1 offset overflows the u8 output"
 
     plen = path_len[row_prow]
     s = ph_start[row_prow]
     tf = tfree[row_prow]
-    rowT = _row_gather(T1, s + jnp.maximum(row_base, 0), W1)   # [Nr, W1]
+    base = jnp.maximum(row_base, 0)
+    rowT = _row_gather(T1, s + base, W1 := T1.shape[1])        # [Nr, W1]
+    # tail-anchor rows: T1[p, w] == ah[p+w], so the per-row column shift
+    # by t = lbv-k becomes a row gather at p + (lb-1-k); column 0 serves
+    # the clip variants (t = lb-1-k), columns 1..D1 the full variant.
+    # FULL row width on purpose: a gather whose slice equals the table row
+    # hits XLA's fast whole-row path (~82 ms/262k rows measured); any
+    # narrower slice (even D1+1) lowers ~7x slower (~590 ms).
+    rowT2 = _row_gather(T1, s + base + (row_lb - 1 - k), W1)
     pe_r = pe2[row_prow]                                       # [Nr, KA]
-    offs_full = _offsets(L0, k)
-    offs_clip = _offsets(L0 - 1, k)
     j = jnp.arange(D1, dtype=jnp.int32)
     avail1 = plen[:, None] - (row_base[:, None] + j)
 
     def per_ori(PH, AH):
         ph_row = PH[row_read]
         ah_row = AH[row_read]
-        g1 = _chain(
-            rowT, ah_row, avail1, 0, L0, offs_full, D1, row_valid, row_sb
+        # read-side tail anchors (scalar per row)
+        a_full = jnp.take_along_axis(
+            ah_row, jnp.clip(row_lb - k, 0, Lh - 1)[:, None], axis=1
         )
+        a_clip0 = jnp.take_along_axis(  # clip-end: read[0:lb-1]
+            ah_row, jnp.clip(row_lb - 1 - k, 0, Lh - 1)[:, None], axis=1
+        )
+        # clip-start shares a_full: anchor of read[1:lb] at offset lb-1-k
+        # is the k-window starting at read index 1 + (lb-1-k) = lb-k
+
+        # full variant (cs=0, lbv=lb): interior chain grid over j
+        g1 = (avail1 >= row_lb[:, None]) & row_valid[:, None] & (
+            j <= row_sb[:, None]
+        )
+        for o in offs:
+            req = (o < row_lb - k)[:, None]
+            g1 &= ~req | (rowT[:, o : o + D1] == ah_row[:, o][:, None])
+        g1 &= rowT2[:, 1 : 1 + D1] == a_full
         j1 = jnp.min(jnp.where(g1, j, INF32), axis=-1)
         j1s = _short_over(
-            pe_r, ph_row, row_base, plen, tf, row_valid, 0, L0, row_sb,
-            rinv1,
+            pe_r, ph_row, row_base, plen, tf, row_valid, 0, row_lb,
+            row_sb, rinv1,
         )
         j1 = jnp.minimum(j1, j1s)
 
         zb = jnp.zeros_like(row_base)
 
-        def clip(cs):
-            g = _chain(
-                rowT, ah_row, avail1[:, :1], cs, L0 - 1, offs_clip, 1,
-                row_valid, zb,
-            )[:, 0]
+        def clip(cs, a_tail):
+            lbv = row_lb - 1
+            g = (avail1[:, 0] >= lbv) & row_valid
+            for o in offs:
+                req = o < lbv - k
+                g &= ~req | (rowT[:, o] == ah_row[:, cs + o])
+            g &= rowT2[:, 0] == a_tail[:, 0]
             js = _short_over(
-                pe_r, ph_row, row_base, plen, tf, row_valid, cs, L0 - 1,
+                pe_r, ph_row, row_base, plen, tf, row_valid, cs, lbv,
                 zb, rinv1,
             )
             return g | (js == 0)
 
-        return jnp.minimum(j1, NONE8).astype(jnp.int32), clip(1), clip(0)
+        return (
+            jnp.minimum(j1, NONE8).astype(jnp.int32),
+            clip(1, a_full),
+            clip(0, a_clip0),
+        )
 
     j1f, s3f, s4f = per_ori(PHf, AHf)
     j1r, s3r, s4r = per_ori(PHr, AHr)
@@ -254,6 +277,12 @@ class DeviceJoinAligner(HashAligner):
         self._d1 = 208
         self.mesh = mesh
         self._sharded_cache = {}
+        # per-stage accounting surfaced to bench.py / GROOT_TIMING
+        import collections
+        import threading
+
+        self.stage_times: Dict[str, float] = collections.defaultdict(float)
+        self._st_lock = threading.Lock()
 
     # -- setup ----------------------------------------------------------
     def attach_tables(self, tables, index, k: int) -> None:
@@ -386,7 +415,10 @@ class DeviceJoinAligner(HashAligner):
     def _read_hash_fn(self, B: int, L: int):
         """Jitted builder of the per-read tables for one batch shape:
         prefix hashes PHf/PHr [B, WPH] and k-window anchor hashes AHf/AHr
-        [B, L+1-k] (fwd + reverse-complement)."""
+        [B, L+1-k] (fwd + reverse-complement). Inputs are the 2-BIT PACKED
+        code rows + N bitmask (~2.7x less tunnel H2D than u8 codes —
+        TUNNEL.md transfer ceilings); the unpack is free elementwise work
+        on the device."""
         fn = self._read_hash_cache.get((B, L))
         if fn is not None:
             return fn
@@ -399,8 +431,14 @@ class DeviceJoinAligner(HashAligner):
         WPH = max(L + 1, KA + 2)
 
         @jax.jit
-        def build(codes, lengths):
-            c = codes.astype(jnp.int32)
+        def build(packed, nmask, lengths):
+            sh2 = jnp.arange(4, dtype=jnp.uint8) * 2
+            c = ((packed[:, :, None] >> sh2[None, None, :]) & 3).reshape(
+                B, L
+            ).astype(jnp.int32)
+            nb = ((nmask[:, :, None] >> jnp.arange(8, dtype=jnp.uint8)) & 1
+                  ).reshape(B, L)
+            c = jnp.where(nb == 1, 4, c)
             vals = (c + 1) * rpow[:L][None, :]
             PHf = jnp.concatenate(
                 [jnp.zeros((B, 1), jnp.int32), jnp.cumsum(vals, axis=1)],
@@ -429,12 +467,14 @@ class DeviceJoinAligner(HashAligner):
         self._read_hash_cache[(B, L)] = build
         return build
 
-    def _seed_scan(self, L0: int):
-        """seed_scan bound to this aligner's statics; shard_mapped over
-        the mesh's data axis when a mesh is attached."""
+    def _seed_scan(self, L: int):
+        """seed_scan bound to this aligner's statics (anchor ladder from
+        the batch code width L); shard_mapped over the mesh's data axis
+        when a mesh is attached."""
+        offs = _offsets(L, self.k)
         if self.mesh is None:
-            return partial(seed_scan, D1=self._d1, L0=L0, k=self.k)
-        fn = self._sharded_cache.get(L0)
+            return partial(seed_scan, D1=self._d1, k=self.k, offs=offs)
+        fn = self._sharded_cache.get(offs)
         if fn is None:
             try:
                 from jax import shard_map
@@ -444,24 +484,24 @@ class DeviceJoinAligner(HashAligner):
 
             d1, k = self._d1, self.k
             rep, sh = P(), P("data")
+            specs = dict(
+                mesh=self.mesh,
+                in_specs=(rep, rep, rep, rep, rep,
+                          sh, sh, sh, sh, sh, sh),
+                out_specs=sh,
+            )
             try:
                 sm = shard_map(
-                    partial(seed_scan, D1=d1, L0=L0, k=k),
-                    mesh=self.mesh,
-                    in_specs=(rep, rep, rep, rep, rep, sh, sh, sh, sh, sh),
-                    out_specs=sh,
+                    partial(seed_scan, D1=d1, k=k, offs=offs), **specs
                 )
             except TypeError:
                 from jax.experimental.shard_map import shard_map as sm2
 
                 sm = sm2(
-                    partial(seed_scan, D1=d1, L0=L0, k=k),
-                    mesh=self.mesh,
-                    in_specs=(rep, rep, rep, rep, rep, sh, sh, sh, sh, sh),
-                    out_specs=sh,
-                    check_rep=False,
+                    partial(seed_scan, D1=d1, k=k, offs=offs),
+                    check_rep=False, **specs,
                 )
-            fn = self._sharded_cache[L0] = jax.jit(sm)
+            fn = self._sharded_cache[offs] = jax.jit(sm)
         return fn
 
     # -- row enumeration (host numpy) -----------------------------------
@@ -503,19 +543,37 @@ class DeviceJoinAligner(HashAligner):
 
         # ship only the distinct mapped reads (the metagenome case maps
         # ~1% of a batch; at ~30 MB/s of tunnel H2D this is the whole
-        # game), padded to a coarse row bucket to bound compile count
+        # game), 2-bit packed + N bitmask (60 B/read at 150 bp instead of
+        # 160 B — the H2D ceiling lever of TUNNEL.md), padded to a coarse
+        # row bucket to bound compile count
         uniq = np.unique(rows)
         U = len(uniq)
         Bb = 64
         while Bb < U:
             Bb *= 4
-        L = codes.shape[1]
-        sub = np.full((Bb, L), 4, np.uint8)
-        sub[:U] = codes[uniq]
+        L = codes.shape[1]  # multiple of 32 (align_pipeline bucketing)
+        cu = codes[uniq]
+        nm = cu == 4
+        c2 = np.where(nm, 0, cu)
+        packed = np.zeros((Bb, L // 4), np.uint8)
+        packed[:U] = (
+            c2[:, 0::4]
+            | (c2[:, 1::4] << 2)
+            | (c2[:, 2::4] << 4)
+            | (c2[:, 3::4] << 6)
+        )
+        nmask = np.zeros((Bb, L // 8), np.uint8)
+        nmask[:U] = np.packbits(nm, axis=1, bitorder="little")
+        # pad rows decode to all-A; their lb below is k+1 and valid=False
         sub_len = np.zeros(Bb, np.int32)
         sub_len[:U] = lengths[uniq]
         build = self._read_hash_fn(Bb, L)
-        PHf, PHr, AHf, AHr = build(jnp.asarray(sub), jnp.asarray(sub_len))
+        PHf, PHr, AHf, AHr = build(
+            jnp.asarray(packed), jnp.asarray(nmask), jnp.asarray(sub_len)
+        )
+        self.stage_times["h2d_bytes"] += (
+            packed.nbytes + nmask.nbytes + sub_len.nbytes
+        )
         local_read = np.searchsorted(uniq, rows).astype(np.int64)
 
         combo_of_pair = np.repeat(
@@ -549,32 +607,35 @@ class DeviceJoinAligner(HashAligner):
         r_len = lengths[rows[r_pair]]
 
         calls = []
-        for L0 in np.unique(r_len):
-            sel = np.flatnonzero(r_len == L0)
-            for lo in range(0, len(sel), ROW_BUCKETS[-1]):
-                part = sel[lo : lo + ROW_BUCKETS[-1]]
-                Nr = _bucket_rows(len(part))
-                a_read = np.zeros(Nr, np.int32)
-                a_prow = np.zeros(Nr, np.int32)
-                a_base = np.zeros(Nr, np.int32)
-                a_sb = np.zeros(Nr, np.int32)
-                a_valid = np.zeros(Nr, bool)
-                a_read[: len(part)] = r_read[part]
-                a_prow[: len(part)] = prow[part]
-                a_base[: len(part)] = r_base[part]
-                a_sb[: len(part)] = r_sb[part]
-                a_valid[: len(part)] = True
-                out = self._seed_scan(int(L0))(
-                    self._dev, PHf, PHr, AHf, AHr,
-                    jnp.asarray(a_read), jnp.asarray(a_prow),
-                    jnp.asarray(a_base), jnp.asarray(a_sb),
-                    jnp.asarray(a_valid),
-                )
-                try:
-                    out.copy_to_host_async()
-                except AttributeError:
-                    pass
-                calls.append((r_pair[part], prow[part], r_base[part], out))
+        n_rows = len(r_pair)
+        for lo in range(0, max(n_rows, 1), ROW_BUCKETS[-1]):
+            part = np.arange(lo, min(lo + ROW_BUCKETS[-1], n_rows))
+            if n_rows == 0:
+                break
+            Nr = _bucket_rows(len(part))
+            a_read = np.zeros(Nr, np.int32)
+            a_prow = np.zeros(Nr, np.int32)
+            a_base = np.zeros(Nr, np.int32)
+            a_sb = np.zeros(Nr, np.int32)
+            a_lb = np.full(Nr, self.k + 1, np.int32)  # inert pad length
+            a_valid = np.zeros(Nr, bool)
+            a_read[: len(part)] = r_read[part]
+            a_prow[: len(part)] = prow[part]
+            a_base[: len(part)] = r_base[part]
+            a_sb[: len(part)] = r_sb[part]
+            a_lb[: len(part)] = r_len[part]
+            a_valid[: len(part)] = True
+            out = self._seed_scan(L)(
+                self._dev, PHf, PHr, AHf, AHr,
+                jnp.asarray(a_read), jnp.asarray(a_prow),
+                jnp.asarray(a_base), jnp.asarray(a_sb),
+                jnp.asarray(a_lb), jnp.asarray(a_valid),
+            )
+            try:
+                out.copy_to_host_async()
+            except AttributeError:
+                pass
+            calls.append((r_pair[part], prow[part], r_base[part], out))
         state = {
             "calls": calls,
             "c_read": c_read,
@@ -589,12 +650,32 @@ class DeviceJoinAligner(HashAligner):
         }
         return [state]
 
+    def fetch_pairs(self, handles) -> None:
+        """Main-thread D2H drain: materialise every seed_scan output as
+        numpy. The axon client tolerates only one thread in dispatch/
+        drain, so this is split from collect_pairs — the pipeline fetches
+        on the main thread and runs the (pure numpy/native) collect on a
+        worker pool overlapped with the next batches' device scans."""
+        if not handles:
+            return
+        import time as _time
+
+        t0 = _time.time()
+        st = handles[0]
+        st["calls"] = [
+            (rp, pr, rb, np.asarray(out)) for rp, pr, rb, out in st["calls"]
+        ]
+        self.stage_times["drain_s"] += _time.time() - t0
+
     def collect_pairs(
         self, handles, batch, rows, wins, kc_read, acc, bam_writer, stats
     ) -> None:
-        """Drain phase A, run phase B for the undecided pairs, combine,
-        then winner selection, weight replay, byte verification, BAM
-        emission and host fallbacks (HashAligner.process_batch's tail)."""
+        """Combine phase A results, winner selection, stage-2 routing,
+        weight replay, byte verification, BAM emission and host fallbacks
+        (HashAligner.process_batch's tail). Thread-safe given a per-thread
+        `acc` and a per-batch `bam_writer` sink: everything here is numpy/
+        native over read-only tables (fetch_pairs already drained the
+        device outputs on the main thread)."""
         if not handles:
             return
         st = handles[0]
@@ -607,8 +688,6 @@ class DeviceJoinAligner(HashAligner):
         n_combos = len(c_read)
         codes = np.asarray(batch.codes)
         lengths = np.asarray(batch.lengths).astype(np.int64)
-        soff_pair = t.w_off[wins].astype(np.int64)
-        sg_pair = t.w_seed_grow[wins]
 
         import time as _time
 
@@ -619,17 +698,33 @@ class DeviceJoinAligner(HashAligner):
         s4 = np.zeros((n_pairs, 2), bool)
         a_rows: List[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = []
         for r_pair, r_prow, r_base, out in st["calls"]:
+            if len(r_pair) == 0:
+                continue
             packed = np.asarray(out)[: len(r_pair)]
             jf = packed & 0xFF
             jr = (packed >> 8) & 0xFF
             fl = packed >> 16
             a_rows.append((r_pair, r_prow, r_base, packed))
-            np.minimum.at(j1[:, 0], r_pair, np.where(jf == NONE8, INF32, jf))
-            np.minimum.at(j1[:, 1], r_pair, np.where(jr == NONE8, INF32, jr))
-            np.logical_or.at(s3[:, 0], r_pair, (fl & 1) > 0)
-            np.logical_or.at(s4[:, 0], r_pair, (fl & 2) > 0)
-            np.logical_or.at(s3[:, 1], r_pair, (fl & 4) > 0)
-            np.logical_or.at(s4[:, 1], r_pair, (fl & 8) > 0)
+            # r_pair is nondecreasing (CSR expansion order): segment
+            # reduceat beats ufunc.at by ~10x at this row count
+            bnd = np.empty(len(r_pair), bool)
+            bnd[0] = True
+            np.not_equal(r_pair[1:], r_pair[:-1], out=bnd[1:])
+            seg = np.flatnonzero(bnd)
+            up = r_pair[seg]
+            j1[up, 0] = np.minimum(
+                j1[up, 0],
+                np.minimum.reduceat(np.where(jf == NONE8, INF32, jf), seg),
+            )
+            j1[up, 1] = np.minimum(
+                j1[up, 1],
+                np.minimum.reduceat(np.where(jr == NONE8, INF32, jr), seg),
+            )
+            orf = np.bitwise_or.reduceat(fl, seg)
+            s3[up, 0] |= (orf & 1) > 0
+            s4[up, 0] |= (orf & 2) > 0
+            s3[up, 1] |= (orf & 4) > 0
+            s4[up, 1] |= (orf & 8) > 0
         s1 = j1 < INF32
         drainA = _time.time() - t0
 
@@ -656,10 +751,6 @@ class DeviceJoinAligner(HashAligner):
         )
         need_f = window_b & ~s1[:, 0]
         need_r = window_b & ~s1[:, 1] & ~(s1 | s3 | s4)[:, 0]
-        s2 = np.zeros((n_pairs, 2), bool)
-        sh_w = np.zeros((n_pairs, 2), np.int64)
-        cn_w = np.zeros((n_pairs, 2), np.int64)
-        kq_best = np.full((n_pairs, 2), INF32, np.int64)
         fb_extra = np.zeros(n_combos, dtype=bool)
         n_needb = 0
         bp = np.flatnonzero(need_f | need_r)
@@ -685,45 +776,69 @@ class DeviceJoinAligner(HashAligner):
                     * self.rpow[:kk]
                 ).sum(axis=1, dtype=np.uint64)
             A = self.anchor_hash
+            # COMBO-LOCAL presence: an interior stage-2 match starts with
+            # the read's first k-window occurring in THE COMBO'S GRAPH —
+            # global presence alone routes every read whose anchor exists
+            # anywhere (nearly all, on an ARG-dense workload). Enumerate
+            # the (tiny) anchor ranges and join on the graph.
+            lo_f = np.searchsorted(A, vf)
+            hi_f = np.searchsorted(A, vf, side="right")
+            lo_r = np.searchsorted(A, vr)
+            hi_r = np.searchsorted(A, vr, side="right")
+            pg = self.path_graph
 
-            def present(v):
-                i = np.searchsorted(A, v)
-                return (i < len(A)) & (
-                    A[np.minimum(i, len(A) - 1)] == v
+            def present_graphs(lo, hi):
+                """sorted unique (local_read*G + gidx) keys with the
+                read's anchor present in that graph."""
+                cnt = (hi - lo).astype(np.int64)
+                total = int(cnt.sum())
+                if total == 0:
+                    return np.empty(0, np.int64)
+                owner = np.repeat(np.arange(len(lo)), cnt)
+                starts = np.concatenate(([0], np.cumsum(cnt[:-1])))
+                ai = lo[owner] + (np.arange(total) - starts[owner])
+                keys = owner * self.G + pg[self.anchor_row[ai]]
+                return np.unique(keys)
+
+            kf = present_graphs(lo_f, hi_f)
+            kr = present_graphs(lo_r, hi_r)
+            # local read slot per pair (cand_reads sorted unique)
+            lrd = np.searchsorted(cand_reads, rows)
+            safe = np.clip(lrd, 0, len(cand_reads) - 1)
+            in_cand = cand_reads[safe] == rows
+            pkeys = safe.astype(np.int64) * self.G + c_g[combo_of_pair]
+
+            def member(keys):
+                if len(keys) == 0:
+                    return np.zeros(len(pkeys), bool)
+                i = np.searchsorted(keys, pkeys)
+                return (i < len(keys)) & (
+                    keys[np.minimum(i, len(keys) - 1)] == pkeys
                 )
 
-            pres = np.zeros((len(codes), 2), bool)
-            pres[cand_reads, 0] = present(vf)
-            pres[cand_reads, 1] = present(vr)
+            pres_f = in_cand & member(kf)
+            pres_r = in_cand & member(kr)
             tailrisk = (
                 self._w_tail_min[wins]
                 < lengths[rows] + NODE_SHUFFLES + 1
             )
             needb = (
-                (need_f & pres[rows, 0])
-                | (need_r & pres[rows, 1])
+                (need_f & pres_f)
+                | (need_r & pres_r)
                 | ((need_f | need_r) & tailrisk)
             )
             n_needb = int(needb.sum())
             fb_extra[np.unique(combo_of_pair[needb])] = True
 
         # ---- combine per pair ------------------------------------------
-        found_o = s1 | s2 | s3 | s4                    # [n_pairs, 2]
+        # (stage-2-possible pairs are in fb_extra by now: a stage-2 winner
+        # can only come from the host-cascade re-run, so s1/s3/s4 are the
+        # only device-decided stages)
+        found_o = s1 | s3 | s4                         # [n_pairs, 2]
         found = found_o.any(axis=1)
         ori = np.where(found_o[:, 0], 0, 1)
         pick = lambda a: a[idx, ori]
-        stage = np.where(
-            pick(s1), 1,
-            np.where(pick(s2), 2, np.where(pick(s3), 3, 4)),
-        )
-        win_node = np.where(
-            pick(s1), sg_pair,
-            np.where(pick(s2), pick(cn_w), sg_pair),
-        )
-        win_off = np.where(
-            pick(s1), soff_pair + pick(j1),
-            np.where(pick(s2), pick(sh_w), soff_pair),
-        )
+        stage = np.where(pick(s1), 1, np.where(pick(s3), 3, 4))
 
         win, n_weighted = winners(found, combo_start)
         has_win = (win >= 0) & ~c_fb & ~fb_extra
@@ -787,9 +902,10 @@ class DeviceJoinAligner(HashAligner):
         combo_cs = (combo_stage == 3).astype(np.int16)
         combo_ce = (combo_stage == 4).astype(np.int16)
 
+        t1 = _time.time()
         if os.environ.get("GROOT_TIMING"):
             log.info(
-                "\ttiming: device drainA=%.2fs callsA=%d stage2_pairs=%d "
+                "\ttiming: device reduce=%.2fs callsA=%d stage2_pairs=%d "
                 "stage2_combos=%d",
                 drainA, len(st["calls"]), n_needb, int(fb_extra.sum()),
             )
@@ -838,9 +954,14 @@ class DeviceJoinAligner(HashAligner):
                 combo_ori, combo_cs, combo_ce, bam_writer, stats,
             )
 
-        # ---- fallback combos (wildcard graphs, long/short reads, verify
-        # failures): re-run through the inherited HOST hash-join cascade —
-        # the fb subset of the sorted hit list is itself a sorted hit list
+        t2 = _time.time()
+        # ---- fallback combos (wildcard graphs, long/short reads,
+        # stage-2-possible pairs, verify failures): re-run through the
+        # inherited HOST hash-join cascade — the fb subset of the sorted
+        # hit list is itself a sorted hit list. On the pooled pipeline
+        # this runs on a worker thread overlapped with the next batches'
+        # device scans, so the residue costs spare host cycles, not
+        # wall-clock on the device path.
         nfb = int(all_fb.sum())
         if nfb:
             log.info("\t%d combos routed to the host cascade", nfb)
@@ -860,3 +981,12 @@ class DeviceJoinAligner(HashAligner):
                 kc_read, acc, bam_writer, fb_stats,
             )
             stats.alignment_count += fb_stats.alignment_count
+        t3 = _time.time()
+        with self._st_lock:
+            stt = self.stage_times
+            stt["reduce_s"] += t1 - t0
+            stt["verify_emit_s"] += t2 - t1
+            stt["residue_s"] += t3 - t2
+            stt["stage2_combos"] += int(fb_extra.sum())
+            stt["fb_combos"] += nfb
+            stt["combos"] += n_combos

@@ -370,6 +370,9 @@ def run_align(
     batch_size: int = DEFAULT_BATCH,
 ) -> AlignStats:
     """ReadMapper equivalent: map/weight/align every read. Returns stats."""
+    from ..hostmem import tune as _malloc_tune
+
+    _malloc_tune()  # keep batch buffers on the heap (see hostmem.py)
     stats = AlignStats()
     k = info.kmer_size
     s = info.sketch_size
@@ -503,8 +506,19 @@ def run_align(
         and not os.environ.get("GROOT_NO_NATIVE_CASCADE")
         and not os.environ.get("GROOT_SEQUENTIAL")
     )
+    use_dev_pool = (
+        not no_align
+        and tables is not None
+        and getattr(aligner, "prefers_async", False)
+        and not os.environ.get("GROOT_SEQUENTIAL")
+    )
     if use_pool:
         raw_count, length_total = _run_align_pooled(
+            info, batches, aligner, bam_writer, stats, k, s, t, tables,
+            batch_size, t_start,
+        )
+    elif use_dev_pool:
+        raw_count, length_total = _run_align_device(
             info, batches, aligner, bam_writer, stats, k, s, t, tables,
             batch_size, t_start,
         )
@@ -548,6 +562,129 @@ def run_align(
 
 
 _TIMING = os.environ.get("GROOT_TIMING", "")
+
+
+def _run_align_device(
+    info, batches, aligner, bam_writer, stats, k, s, t, tables,
+    batch_size, t_start,
+) -> Tuple[int, int]:
+    """Device-engine pipeline (prefers_async aligners). Thread roles:
+      * ingest thread (_map_hits via _prefetch): decode + sketch + LSH
+        query + hit sorting — pure host-native, no jax;
+      * MAIN thread: ONLY device dispatch (submit_pairs) and D2H drains
+        (fetch_pairs) — the axon tunnel client tolerates exactly one
+        thread in dispatch/drain;
+      * worker pool: collect_pairs per batch (winner combine, stage-2
+        routing, byte verify, BAM assembly, host-cascade residue) into
+        per-batch record sinks, replayed in submission order.
+    Up to `depth` batches are in flight on the device while earlier
+    batches' host-side tails run on the pool — the boss/minion fan-out of
+    the reference (boss.go:134-203) with the chip as one more minion."""
+    import collections
+    import threading
+    import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..align.batch_host import WeightAccumulator
+
+    depth = max(int(os.environ.get("GROOT_PIPE_DEPTH", "2")), 1)
+    workers = max(
+        int(
+            os.environ.get("GROOT_WORKERS", "")
+            or getattr(info, "num_proc", 0)
+            or os.cpu_count()
+            or 2
+        ),
+        1,
+    )
+    accs: Dict[int, WeightAccumulator] = {}
+    pool = ThreadPoolExecutor(max_workers=workers)
+
+    def post(batch, handles, rows, wins, kc_read):
+        tid = threading.get_ident()
+        acc = accs.get(tid)
+        if acc is None:
+            accs[tid] = acc = WeightAccumulator(tables)
+        st = AlignStats()
+        sink = _RecSink() if bam_writer is not None else None
+        aligner.collect_pairs(
+            handles, batch, rows, wins, kc_read, acc, sink, st
+        )
+        return st, sink
+
+    raw_count = 0
+    length_total = 0
+    done_count = 0
+    pend: "collections.deque" = collections.deque()
+    futs: "collections.deque" = collections.deque()
+
+    def replay_one():
+        nonlocal done_count
+        fut, n_valid = futs.popleft()
+        st, sink = fut.result()
+        if sink is not None:
+            sink.replay(bam_writer)
+        stats.alignment_count += st.alignment_count
+        done_count += n_valid
+        log.info(
+            "\tprocessed %d reads (%.0f reads/s)",
+            done_count,
+            done_count / max(_time.time() - t_start, 1e-9),
+        )
+
+    def drain_oldest():
+        batch, handles, rows, wins, kc_read = pend.popleft()
+        aligner.fetch_pairs(handles)  # D2H on the main thread
+        futs.append(
+            (
+                pool.submit(post, batch, handles, rows, wins, kc_read),
+                batch.n_valid,
+            )
+        )
+        while len(futs) > workers + 1:
+            replay_one()
+
+    try:
+        for batch in batches:
+            raw_count += batch.n_valid
+            length_total += int(batch.lengths[: batch.n_valid].sum())
+            pre = getattr(batch, "_hits", None)
+            if pre is None:
+                # _map_hits skips batches containing too-short reads so
+                # the error surfaces here, like the non-async engines
+                short = int(batch.lengths[: batch.n_valid].min())
+                raise ValueError(
+                    f"sequence length ({short}) is short than k-mer "
+                    f"length ({k})"
+                )
+            rows, wins, combo_start = pre
+            stats.received += batch.n_valid
+            if len(rows):
+                graphs_per_read = np.bincount(
+                    rows[combo_start], minlength=batch.n_valid
+                )
+                stats.mapped += int((graphs_per_read > 0).sum())
+                stats.multimapped += int((graphs_per_read > 1).sum())
+            kc_read = (
+                (batch.lengths - k + 1).astype(np.int32).astype(np.float64)
+            )
+            t0 = _time.time()
+            handles = aligner.submit_pairs(batch, rows, wins, combo_start)
+            aligner.stage_times["submit_s"] += _time.time() - t0
+            pend.append((batch, handles, rows, wins, kc_read))
+            while len(pend) > depth:
+                drain_oldest()
+            while futs and futs[0][0].done():
+                replay_one()
+        while pend:
+            drain_oldest()
+        while futs:
+            replay_one()
+    finally:
+        pool.shutdown(wait=True)
+    for acc in accs.values():
+        acc.flush(info.store)
+    return raw_count, length_total
 
 
 def _run_align_sequential(

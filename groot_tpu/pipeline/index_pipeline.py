@@ -161,6 +161,9 @@ def sketch_and_index(info: Info, graphs: List[GrootGraph]) -> ContainmentIndex:
 
 def run_index(info: Info, msa_dir: str) -> None:
     """The full `groot index` driver (cmd/index.go:57-133)."""
+    from ..hostmem import tune as _malloc_tune
+
+    _malloc_tune()  # keep batch buffers on the heap (see hostmem.py)
     msa_files = find_msa_files(msa_dir)
     if not msa_files:
         raise FileNotFoundError(
