@@ -13,10 +13,15 @@ padded path lanes, so work is proportional to true cascade work:
     (clipped probes) for every row — one [rows, W] gather + elementwise;
   stage 2 (contained nodes x shuffles): only pairs phase A leaves
     undecided can need it — the reference stops at the first success per
-    (read, graph) — and an exact necessary-condition prefilter (anchor
-    presence + tail proximity) proves it impossible for almost all of
-    those; the residue re-runs on the host cascade, whose match-list join
-    touches only the read's ~10 true match positions.
+    (read, graph) — and it is resolved INLINE on the host, exactly:
+    interior matches enumerate from the sorted u64 anchor table and join
+    against contained nodes incrementally by rank; dead-end overhang
+    matches enumerate from the per-node tail-risky CSR, one tail-hash
+    compare each. (An eager device grid was measured and rejected: the
+    contained-node expansion is 38.7x the stage-1 row count on
+    arg-annot.90, and the grid probes blindly where the anchor join
+    touches only the read's ~10 true match positions.) No combo routes
+    to a host-cascade re-run for stage-2 reasons.
 
 Exact-match tests are ANCHOR CHAINS: read[0:lb] matches the path at p iff
 the 32-bit k-window hash matches at offsets {0, k, 2k, ..., lb-k}
@@ -67,6 +72,7 @@ from .hash_join import HashAligner
 log = logging.getLogger("groot")
 
 INF32 = np.int32(2**30)
+BIG2 = np.int64(2**62)  # stage-2 (rank, shuffle) key sentinel
 MAXL = 192       # longest read served on device; longer -> host residue
 KA = MAXL        # overhang tail lanes: EVERY overhang (avail < lb <= MAXL)
                  # is one certified path-tail-hash compare — no partially
@@ -383,6 +389,54 @@ class DeviceJoinAligner(HashAligner):
         )
         node_tail = np.full(len(self.node_len), INF40, np.int64)
         np.minimum.at(node_tail, owner_n, dist_n)
+        # sorted path-TAIL hash table for the inline stage-2 overhang
+        # lookup (dead-end partial matches, alignment.go:229): key =
+        # hash(path[plen-a : plen]) ^ amix[a] ^ gmix[graph] for every
+        # terminal-free row and overhang length a in [1, min(plen,
+        # MAXL-1)]. A read-prefix hash probes it like the interior anchor
+        # table — true matches only, no candidate grids.
+        from .hash_join import _splitmix64
+
+        self._amix = np.array(
+            [_splitmix64(a ^ 0x6A09E667F3BCC909) for a in range(MAXL + 1)],
+            dtype=np.uint64,
+        )
+        tf_rows = np.flatnonzero(self.tfree)
+        if len(tf_rows):
+            plen_t = self.path_len[tf_rows].astype(np.int64)
+            av = np.arange(1, MAXL, dtype=np.int64)
+            okg = av[None, :] <= np.minimum(plen_t, MAXL - 1)[:, None]
+            pos_t = np.maximum(plen_t[:, None] - av[None, :], 0)
+            s_t = self.ph_start[tf_rows][:, None]
+            with np.errstate(over="ignore"):
+                th = (
+                    self.ph[s_t + plen_t[:, None]] - self.ph[s_t + pos_t]
+                ) * self.rinv[pos_t]
+                th ^= self._amix[av][None, :]
+                th ^= self.g_mix[self.path_graph[tf_rows]][:, None]
+            ri, ci = np.nonzero(okg)
+            order = np.argsort(th[ri, ci], kind="stable")
+            self._tail_hash = th[ri, ci][order]
+            self._tail_row = tf_rows[ri[order]].astype(np.int64)
+            self._tail_a = av[ci[order]]
+        else:
+            self._tail_hash = np.empty(0, np.uint64)
+            self._tail_row = np.empty(0, np.int64)
+            self._tail_a = np.empty(0, np.int64)
+        # presence bitmap over the low 27 hash bits: random binary search
+        # into the multi-MB tail table is cache-miss bound; ~94% of
+        # probes (junk RC prefixes) die on one bit test instead
+        TB = 27
+        bm = np.zeros(1 << (TB - 3), np.uint8)
+        if len(self._tail_hash):
+            bidx = (
+                self._tail_hash & np.uint64((1 << TB) - 1)
+            ).astype(np.int64)
+            np.bitwise_or.at(
+                bm, bidx >> 3, (1 << (bidx & 7)).astype(np.uint8)
+            )
+        self._tail_bloom = bm
+        self._tail_bloom_mask = np.uint64((1 << TB) - 1)
         n_ent = len(t.cn_grow)
         went = (
             np.searchsorted(
@@ -728,19 +782,13 @@ class DeviceJoinAligner(HashAligner):
         s1 = j1 < INF32
         drainA = _time.time() - t0
 
-        # ---- stage-2 routing --------------------------------------------
+        # ---- stage 2 ----------------------------------------------------
         # The reference's priority makes stage 2 relevant only for pairs
-        # with no fwd stage-1 success positioned at or before the current
-        # winner. An EXACT necessary-condition prefilter decides which of
-        # those can possibly have a stage-2 match: an interior/long match
-        # requires the read's first k-window hash to exist in the index
-        # (u64 host anchor table - exact), and a dead-end tail match
-        # requires a contained-node position within read-length+shuffles
-        # of a terminal path end (w_tail_min, precomputed per window).
-        # RC-orientation junk (half of every library) fails both. Combos
-        # still needing stage 2 re-run on the host cascade, whose
-        # match-list join evaluates exactly the read's ~10 true match
-        # positions instead of the full shuffle grid.
+        # with no stage-1 success positioned at or before the current
+        # winner. Both cases are resolved INLINE and exactly below
+        # (interior via the anchor table, dead-end overhang via the
+        # tail-risky CSR); RC-orientation junk (half of every library)
+        # short-circuits on the empty anchor range.
         foundA = (s1 | s3 | s4).any(axis=1)
         winA, _nw = winners(foundA, combo_start)
         winA_of_pair = winA[combo_of_pair]
@@ -753,6 +801,9 @@ class DeviceJoinAligner(HashAligner):
         need_r = window_b & ~s1[:, 1] & ~(s1 | s3 | s4)[:, 0]
         fb_extra = np.zeros(n_combos, dtype=bool)
         n_needb = 0
+        s2 = np.zeros((n_pairs, 2), bool)
+        best2 = np.full((n_pairs, 2), BIG2, np.int64)
+        s2_join: List[Tuple[np.ndarray, ...]] = []  # per-ori join rows
         bp = np.flatnonzero(need_f | need_r)
         if len(bp):
             from ..ops.nthash import RC_CODE_NP
@@ -760,85 +811,303 @@ class DeviceJoinAligner(HashAligner):
             cand_reads = np.unique(rows[bp])
             cr = codes[cand_reads]
             crl = lengths[cand_reads]
+            Lc = cr.shape[1]
             kk = self.k
             with np.errstate(over="ignore"):
-                vf = (
-                    (cr[:, :kk].astype(np.uint64) + np.uint64(1))
-                    * self.rpow[:kk]
-                ).sum(axis=1, dtype=np.uint64)
+                # first-k anchor hash + FULL-length variant hash, fwd + rc
+                valsf = (cr.astype(np.uint64) + np.uint64(1)) * self.rpow[:Lc]
+                cumf = np.cumsum(valsf, axis=1)
+                ar = np.arange(len(cr))
+                vf = cumf[ar, kk - 1]
+                vfull_f = cumf[ar, crl - 1]
                 ridx = np.clip(
-                    crl[:, None] - 1 - np.arange(kk)[None, :], 0,
-                    cr.shape[1] - 1,
+                    crl[:, None] - 1 - np.arange(Lc)[None, :], 0, Lc - 1
                 )
                 rcod = RC_CODE_NP[np.take_along_axis(cr, ridx, axis=1)]
-                vr = (
-                    (rcod.astype(np.uint64) + np.uint64(1))
-                    * self.rpow[:kk]
-                ).sum(axis=1, dtype=np.uint64)
+                valsr = (
+                    rcod.astype(np.uint64) + np.uint64(1)
+                ) * self.rpow[:Lc]
+                cumr = np.cumsum(valsr, axis=1)
+                vr = cumr[ar, kk - 1]
+                vfull_r = cumr[ar, crl - 1]
             A = self.anchor_hash
-            # COMBO-LOCAL presence: an interior stage-2 match starts with
-            # the read's first k-window occurring in THE COMBO'S GRAPH —
-            # global presence alone routes every read whose anchor exists
-            # anywhere (nearly all, on an ARG-dense workload). Enumerate
-            # the (tiny) anchor ranges and join on the graph.
-            lo_f = np.searchsorted(A, vf)
-            hi_f = np.searchsorted(A, vf, side="right")
-            lo_r = np.searchsorted(A, vr)
-            hi_r = np.searchsorted(A, vr, side="right")
             pg = self.path_graph
-
-            def present_graphs(lo, hi):
-                """sorted unique (local_read*G + gidx) keys with the
-                read's anchor present in that graph."""
-                cnt = (hi - lo).astype(np.int64)
-                total = int(cnt.sum())
-                if total == 0:
-                    return np.empty(0, np.int64)
-                owner = np.repeat(np.arange(len(lo)), cnt)
-                starts = np.concatenate(([0], np.cumsum(cnt[:-1])))
-                ai = lo[owner] + (np.arange(total) - starts[owner])
-                keys = owner * self.G + pg[self.anchor_row[ai]]
-                return np.unique(keys)
-
-            kf = present_graphs(lo_f, hi_f)
-            kr = present_graphs(lo_r, hi_r)
-            # local read slot per pair (cand_reads sorted unique)
-            lrd = np.searchsorted(cand_reads, rows)
-            safe = np.clip(lrd, 0, len(cand_reads) - 1)
-            in_cand = cand_reads[safe] == rows
-            pkeys = safe.astype(np.int64) * self.G + c_g[combo_of_pair]
-
-            def member(keys):
-                if len(keys) == 0:
-                    return np.zeros(len(pkeys), bool)
-                i = np.searchsorted(keys, pkeys)
-                return (i < len(keys)) & (
-                    keys[np.minimum(i, len(keys) - 1)] == pkeys
-                )
-
-            pres_f = in_cand & member(kf)
-            pres_r = in_cand & member(kr)
+            # tailrisk: the pair's window has a contained-node position
+            # close enough to a terminal-free path end that a dead-end
+            # OVERHANG stage-2 match is possible (alignment.go:229);
+            # resolved inline below from the per-node risky-row CSR
             tailrisk = (
                 self._w_tail_min[wins]
                 < lengths[rows] + NODE_SHUFFLES + 1
             )
-            needb = (
-                (need_f & pres_f)
-                | (need_r & pres_r)
-                | ((need_f | need_r) & tailrisk)
-            )
-            n_needb = int(needb.sum())
-            fb_extra[np.unique(combo_of_pair[needb])] = True
+            # stage 2 resolved INLINE and exactly — both cases — so no
+            # combo routes to the host cascade for stage-2 reasons:
+            #  * interior: the read's true full-variant interior matches
+            #    are enumerated from the sorted u64 anchor table (first-k
+            #    hash range -> candidates; full-length hash equality ->
+            #    matches), then joined against the window's contained
+            #    nodes x shuffles with the host cascade's
+            #    (rank, shuffle)-lexicographic winner key
+            #    (hash_join._winners_np ok2/key2);
+            #  * overhang: candidates are the window's contained-node
+            #    (row, pos) entries near a terminal-free path end
+            #    (_risk_* CSR) x shuffles, matched by one path-tail-hash
+            #    vs read-prefix-hash compare each.
+            lrd = np.searchsorted(cand_reads, rows)
+            safe = np.clip(lrd, 0, len(cand_reads) - 1)
+            in_cand = cand_reads[safe] == rows
+            t = self.tables
+
+            def enum_matches(v_anchor, vfull):
+                lo = np.searchsorted(A, v_anchor)
+                hi = np.searchsorted(A, v_anchor, side="right")
+                cnt = (hi - lo).astype(np.int64)
+                total = int(cnt.sum())
+                if total == 0:
+                    e = np.empty(0, np.int64)
+                    return e, e, e
+                self.stage_times["s2_cand"] += total
+                owner = np.repeat(np.arange(len(lo)), cnt)
+                starts = np.concatenate(([0], np.cumsum(cnt[:-1])))
+                ai = lo[owner] + (np.arange(total) - starts[owner])
+                row = self.anchor_row[ai].astype(np.int64)
+                pos = self.anchor_pos[ai].astype(np.int64)
+                lbo = crl[owner]
+                plen = self.path_len[row].astype(np.int64)
+                s = self.ph_start[row]
+                interior = pos + lbo <= plen
+                with np.errstate(over="ignore"):
+                    hint = (
+                        self.ph[s + np.minimum(pos + lbo, plen)]
+                        - self.ph[s + pos]
+                    ) * self.rinv[pos]
+                ok = interior & (hint == vfull[owner])
+                self.stage_times["s2_match"] += int(ok.sum())
+                return owner[ok], row[ok], pos[ok]
+
+            def overhang_join(tp, oi, cum):
+                """Dead-end overhang stage-2 for pairs `tp`: probe the
+                sorted path-tail hash table with the read's prefix hashes
+                (one key per overhang length a), then join the TRUE
+                matches against the window's contained nodes x shuffles.
+                Work is proportional to matches, not candidate grids."""
+                T = self._tail_hash
+                if len(T) == 0:
+                    return
+                # dedup probes by (read, graph): a read seeded to several
+                # windows of one graph probes the tail table once
+                ukey = (
+                    safe[tp].astype(np.int64) * self.G
+                    + c_g[combo_of_pair[tp]]
+                )
+                uq, inv = np.unique(ukey, return_inverse=True)
+                urd = (uq // self.G).astype(np.int64)
+                lb2 = crl[urd]
+                amax = int(lb2.max()) - 1
+                if amax < 1:
+                    return
+                av = np.arange(1, amax + 1, dtype=np.int64)
+                with np.errstate(over="ignore"):
+                    keys = (
+                        cum[urd][:, av - 1]
+                        ^ self._amix[av][None, :]
+                        ^ self.g_mix[(uq % self.G)][:, None]
+                    )
+                okq = av[None, :] <= (lb2 - 1)[:, None]
+                qi, _aj = np.nonzero(okq)
+                flatk = keys[okq]
+                self.stage_times["s2_over_probe"] += len(flatk)
+                bidx = (flatk & self._tail_bloom_mask).astype(np.int64)
+                alive0 = np.flatnonzero(
+                    (self._tail_bloom[bidx >> 3] >> (bidx & 7)) & 1
+                )
+                if len(alive0) == 0:
+                    return
+                flatk = flatk[alive0]
+                qi = qi[alive0]
+                self.stage_times["s2_over_srch"] += len(flatk)
+                lo = np.searchsorted(T, flatk)
+                hi = np.searchsorted(T, flatk, side="right")
+                cnt = (hi - lo).astype(np.int64)
+                tot0 = int(cnt.sum())
+                if tot0 == 0:
+                    return
+                ow = np.repeat(np.arange(len(flatk)), cnt)
+                st2 = np.concatenate(([0], np.cumsum(cnt[:-1])))
+                ai = lo[ow] + (np.arange(tot0) - st2[ow])
+                u_hit = qi[ow]                     # unique-(read,graph) id
+                # fan hits back out to the pairs sharing the probe
+                po = np.argsort(inv, kind="stable")
+                ucnt = np.bincount(inv, minlength=len(uq)).astype(np.int64)
+                uptr = np.concatenate(([0], np.cumsum(ucnt)))
+                fan = ucnt[u_hit]
+                tot = int(fan.sum())
+                self.stage_times["s2_over_rows"] += tot
+                hid = np.repeat(np.arange(tot0), fan)
+                st4 = np.concatenate(([0], np.cumsum(fan[:-1])))
+                jj = np.arange(tot) - st4[hid]
+                pair2 = tp[po[uptr[u_hit[hid]] + jj]]
+                hrow = self._tail_row[ai][hid]
+                ha = self._tail_a[ai][hid]
+                pos2 = self.path_len[hrow].astype(np.int64) - ha
+                # contained-node x shuffle join over the matches,
+                # incremental by rank: runs AFTER the interior join, so
+                # rows whose pair already holds a best key at an earlier
+                # rank (no tie possible) drop without a lookup
+                cn_all = t.cn_cnt[wins[pair2]].astype(np.int64)
+                alive = np.arange(tot)
+                r = 0
+                while len(alive):
+                    has = cn_all[alive] > r
+                    cur = alive[has]
+                    if len(cur) == 0:
+                        break
+                    cur = cur[
+                        best2[pair2[cur], oi]
+                        >= r * (NODE_SHUFFLES + 1)
+                    ]
+                    if len(cur):
+                        self.stage_times["s2_over_rows"] += len(cur)
+                        w_c = wins[pair2[cur]]
+                        grow2 = t.cn_grow[t.cn_ptr[w_c] + r]
+                        cfound, cpos = self._npos_lookup(
+                            grow2, hrow[cur]
+                        )
+                        sh = pos2[cur] - cpos
+                        clen2 = self.node_len[grow2].astype(np.int64)
+                        ok2 = (
+                            cfound
+                            & (sh >= 0)
+                            & (sh <= np.minimum(NODE_SHUFFLES, clen2 - 1))
+                        )
+                        sel = np.flatnonzero(ok2)
+                        if len(sel):
+                            ep = pair2[cur[sel]]
+                            key2 = (
+                                r * (NODE_SHUFFLES + 1) + sh[sel]
+                            )
+                            np.minimum.at(best2[:, oi], ep, key2)
+                            s2_join.append(
+                                (np.full(len(sel), oi, np.int8), ep,
+                                 hrow[cur[sel]], pos2[cur[sel]], key2)
+                            )
+                    alive = alive[has]
+                    alive = alive[
+                        best2[pair2[alive], oi]
+                        >= (r + 1) * (NODE_SHUFFLES + 1)
+                    ]
+                    r += 1
+
+            for oi, (va, vfl, need_o, cum) in enumerate(
+                (
+                    (vf, vfull_f, need_f, cumf),
+                    (vr, vfull_r, need_r, cumr),
+                )
+            ):
+                ip = np.flatnonzero(need_o & in_cand)
+                if len(ip) == 0:
+                    continue
+                tq2 = _time.time()
+                m_owner, m_row, m_pos = enum_matches(va, vfl)
+                self.stage_times["s2_enum_s"] += _time.time() - tq2
+                if len(m_owner) == 0:
+                    tq4 = _time.time()
+                    tp = ip[tailrisk[ip]]
+                    if len(tp):
+                        overhang_join(tp, oi, cum)
+                    self.stage_times["s2_over_s"] += _time.time() - tq4
+                    continue
+                mkey = m_owner * np.int64(self.G) + pg[m_row]
+                mo = np.argsort(mkey, kind="stable")
+                mkey, m_row, m_pos = mkey[mo], m_row[mo], m_pos[mo]
+                pkey = (
+                    safe[ip].astype(np.int64) * self.G
+                    + c_g[combo_of_pair[ip]]
+                )
+                mlo = np.searchsorted(mkey, pkey)
+                mhi = np.searchsorted(mkey, pkey, side="right")
+                cm = mhi - mlo
+                tot = int(cm.sum())
+                if tot == 0:
+                    tq4 = _time.time()
+                    tp = ip[tailrisk[ip]]
+                    if len(tp):
+                        overhang_join(tp, oi, cum)
+                    self.stage_times["s2_over_s"] += _time.time() - tq4
+                    continue
+                pmo = np.repeat(np.arange(len(ip)), cm)
+                st0 = np.concatenate(([0], np.cumsum(cm[:-1])))
+                mi = mlo[pmo] + (np.arange(tot) - st0[pmo])
+                pm_pair = ip[pmo]
+                e_row = m_row[mi]
+                e_pos = m_pos[mi]
+                # contained-node x shuffle join, INCREMENTAL over the rank
+                # axis: key2 = rank*(NS+1)+sh is lexicographic in (rank,
+                # sh), so the first rank with any valid shuffle decides a
+                # pair and its remaining (match, rank) rows drop out —
+                # expected work ~1 lookup per match instead of cn_cnt
+                cn_all = t.cn_cnt[wins[pm_pair]].astype(np.int64)
+                alive = np.arange(tot)
+                r = 0
+                while len(alive):
+                    has = cn_all[alive] > r
+                    cur = alive[has]
+                    if len(cur) == 0:
+                        break
+                    self.stage_times["s2_join_rows"] += len(cur)
+                    w_c = wins[pm_pair[cur]]
+                    grow = t.cn_grow[t.cn_ptr[w_c] + r]
+                    cfound, cpos = self._npos_lookup(grow, e_row[cur])
+                    sh = e_pos[cur] - cpos
+                    clen = self.node_len[grow].astype(np.int64)
+                    ok2 = (
+                        cfound
+                        & (sh >= 0)
+                        & (sh <= np.minimum(NODE_SHUFFLES, clen - 1))
+                    )
+                    sel = np.flatnonzero(ok2)
+                    if len(sel):
+                        ep = pm_pair[cur[sel]]
+                        key2 = r * (NODE_SHUFFLES + 1) + sh[sel]
+                        np.minimum.at(best2[:, oi], ep, key2)
+                        s2_join.append(
+                            (np.full(len(sel), oi, np.int8), ep,
+                             e_row[cur[sel]], e_pos[cur[sel]], key2)
+                        )
+                    # drop rows of pairs whose winning key lies at this or
+                    # an earlier rank (an overhang best at a LATER rank
+                    # must not stop earlier-rank interior evaluation)
+                    alive = alive[has]
+                    undecided = best2[pm_pair[alive], oi] >= (r + 1) * (
+                        NODE_SHUFFLES + 1
+                    )
+                    alive = alive[undecided]
+                    r += 1
+                self.stage_times["s2_int_s"] += _time.time() - tq2
+                # overhang AFTER interior: decided pairs prune its join
+                tq4 = _time.time()
+                tp = ip[tailrisk[ip]]
+                if len(tp):
+                    overhang_join(tp, oi, cum)
+                self.stage_times["s2_over_s"] += _time.time() - tq4
+            s2 = best2 < BIG2
+            n_needb = int(((need_f | need_r) & tailrisk).sum())
+            with self._st_lock:
+                self.stage_times["s2_tail_pairs"] += n_needb
+                self.stage_times["s2_inline_pairs"] += int(
+                    (need_f | need_r).sum()
+                )
 
         # ---- combine per pair ------------------------------------------
-        # (stage-2-possible pairs are in fb_extra by now: a stage-2 winner
-        # can only come from the host-cascade re-run, so s1/s3/s4 are the
-        # only device-decided stages)
-        found_o = s1 | s3 | s4                         # [n_pairs, 2]
+        # (overhang-risk stage-2 pairs are in fb_extra by now; interior
+        # stage-2 was resolved inline above, so s2 here is live and exact)
+        found_o = s1 | s2 | s3 | s4                    # [n_pairs, 2]
         found = found_o.any(axis=1)
         ori = np.where(found_o[:, 0], 0, 1)
         pick = lambda a: a[idx, ori]
-        stage = np.where(pick(s1), 1, np.where(pick(s3), 3, 4))
+        stage = np.where(
+            pick(s1), 1, np.where(pick(s2), 2, np.where(pick(s3), 3, 4))
+        )
 
         win, n_weighted = winners(found, combo_start)
         has_win = (win >= 0) & ~c_fb & ~fb_extra
@@ -879,6 +1148,23 @@ class DeviceJoinAligner(HashAligner):
                             combo_of_pair[r_pair[hsel]],
                             r_prow[hsel],
                             r_base[hsel] + off,
+                        )
+                    )
+            # stage-2 winners: ids from the inline interior join rows
+            for s2o, ep, erow, epos, ekey in s2_join:
+                hit = (
+                    is_winner[ep]
+                    & (stage[ep] == 2)
+                    & (ori[ep] == s2o)
+                    & (ekey == best2[ep, s2o])
+                )
+                if hit.any():
+                    hsel = np.flatnonzero(hit)
+                    id_parts.append(
+                        (
+                            combo_of_pair[ep[hsel]],
+                            erow[hsel],
+                            epos[hsel],
                         )
                     )
         if id_parts:
