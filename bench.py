@@ -14,11 +14,14 @@ both numbers machine-readable):
   * ARG-dense: every read maps and emits ~9 BAM records — the workload
     where the exact-alignment cascade dominates.
 
-Engines: `auto` resolves to the DEVICE cascade engine when a TPU backend
-is up (align/device_join.py — stages 1/3/4 of the hierarchical alignment
-execute on the chip) and the host hash-join on CPU; the host engine is
-measured alongside for comparison. The recorded value is the auto
-(device-on-TPU) metagenome number; everything else lands in `secondary`.
+Engines: `auto` is TRANSPORT-AWARE (align_pipeline._select_engine): the
+DEVICE cascade engine (align/device_join.py — the exact-alignment inner
+loop on the chip) when the accelerator is attached at local-bus
+bandwidth, the host hash-join when it sits behind a thin tunnel (the
+bench chip: ~33 MB/s H2D — TUNNEL.md) or on CPU. BOTH engines are
+measured on BOTH workloads, interleaved per round with every per-pass
+rate recorded; the recorded value is whichever engine auto resolves to
+on this machine, everything else lands in `secondary`.
 
 Baseline: the Go reference cannot be executed in this image (no Go
 toolchain), so the denominator is its DOCUMENTED single-CPU claim of "a
@@ -129,8 +132,9 @@ def main() -> int:
     ap.add_argument("--noAlign", action="store_true", help="seed+weight only")
     ap.add_argument("--batchSize", type=int, default=None)
     ap.add_argument(
-        "--repeat", type=int, default=3,
-        help="replicate the dense read file N times per pass",
+        "--repeat", type=int, default=12,
+        help="replicate the dense read file N times per pass (12 gives "
+        "the 32k-batch device engine 4 batches to pipeline over)",
     )
     args = ap.parse_args()
 
@@ -204,7 +208,35 @@ def main() -> int:
     dense_batch_dev = args.batchSize or 32768   # device amortizes RTT/H2D
     mix_batch = args.batchSize or 131072
 
-    sec = {}
+    # what does auto resolve to on this machine? (transport-aware: the
+    # tunnel-attached bench chip loses to the 2-core host engine on both
+    # workloads — TUNNEL.md; a direct-attached TPU resolves to device)
+    from groot_tpu.pipeline.align_pipeline import _select_engine
+
+    auto_engine = _select_engine()
+    sec = {"auto_engine": auto_engine}
+    if on_tpu:
+        from groot_tpu.pipeline.align_pipeline import transport_mbps
+
+        sec["transport_mbps"] = round(transport_mbps(), 1)
+
+    def grab_stage(prefix):
+        """Fold the device aligner's per-stage counters (summed over the
+        passes since the last grab) into secondary — bench observability
+        without a profiler session (r4 verdict item 7)."""
+        rt = getattr(info, "_align_rt", None)
+        if rt is None or not hasattr(rt[1], "stage_times"):
+            return
+        st = rt[1].stage_times
+        for key in (
+            "submit_s", "drain_s", "reduce_s", "verify_emit_s",
+            "residue_s", "h2d_bytes", "stage2_combos", "fb_combos",
+            "combos",
+        ):
+            if key in st:
+                sec[prefix + key] = round(float(st[key]), 2)
+        st.clear()
+
     dense_work = [("arg_dense_host_engine", "hash", dense_reads, dense_batch)]
     if on_tpu:
         dense_work.append(
@@ -221,7 +253,12 @@ def main() -> int:
             f"(mapped={st.mapped} alignments={st.alignment_count})",
             file=sys.stderr,
         )
-    dense_auto = sec[dense_work[-1][0]]
+    grab_stage("dense_dev_")
+    dense_auto = sec[
+        "arg_dense_host_engine"
+        if auto_engine == "hash" or not on_tpu
+        else "arg_dense_device_engine"
+    ]
     sec["arg_dense"] = dense_auto
 
     mix_auto = 0.0
@@ -242,7 +279,12 @@ def main() -> int:
                 f"best {sec[name]:,.0f} reads/s of {mix_rates[name]} "
                 f"(mapped={st2.mapped})", file=sys.stderr,
             )
-        mix_auto = sec[mix_work[-1][0]]
+        grab_stage("mix_dev_")
+        mix_auto = sec[
+            "metagenome_host_engine"
+            if auto_engine == "hash" or not on_tpu
+            else "metagenome_device_engine"
+        ]
 
     # haplotype stage: prune + batched EM over the surviving graphs
     t0 = time.time()
@@ -263,7 +305,7 @@ def main() -> int:
         f"graphs): {hap_s:.2f}s", file=sys.stderr,
     )
 
-    sec["engine"] = "device" if on_tpu else "hash"
+    sec["engine"] = auto_engine
     sec["baseline_note"] = (
         "denominator 64000 reads/s is the reference's documented claim "
         "(docs/index.rst:21), not a measurement; no Go toolchain exists "

@@ -34,9 +34,36 @@ log = logging.getLogger("groot")
 DEFAULT_BATCH = 2048
 
 
+_TRANSPORT_MBPS: List[float] = []  # memoized probe result
+
+
+def transport_mbps() -> float:
+    """One-time host<->device transfer probe (2 MB round trip, real
+    fetch). A direct-attached TPU measures GB/s; the axon tunnel measures
+    ~20-40 MB/s. Memoized; call only with an accelerator backend up."""
+    if _TRANSPORT_MBPS:
+        return _TRANSPORT_MBPS[0]
+    import time as _time
+
+    import jax
+
+    buf = np.zeros(1 << 20, np.uint8)
+    np.asarray(jax.device_put(buf))  # warm the path
+    t0 = _time.time()
+    np.asarray(jax.device_put(buf))  # 1 MB out + 1 MB back
+    dt = max(_time.time() - t0, 1e-6)
+    _TRANSPORT_MBPS.append(2.0 / dt)
+    log.info("\tdevice transport probe: %.0f MB/s", _TRANSPORT_MBPS[0])
+    return _TRANSPORT_MBPS[0]
+
+
 def _select_engine() -> str:
-    """GROOT_ENGINE env override, else auto: the device probe engine when
-    an accelerator backend is up, the host hash-join on CPU."""
+    """GROOT_ENGINE env override, else auto — TRANSPORT-AWARE: the device
+    cascade engine only when the accelerator is attached at local-bus
+    bandwidth. Through a thin tunnel (TUNNEL.md: axon ~33 MB/s H2D, 26 ms
+    RTT — ~300-500x below PCIe) the measured ceilings put the 2-core host
+    engine ahead on BOTH bench workloads, so auto stays on the host
+    rather than pessimizing to the chip."""
     engine = os.environ.get("GROOT_ENGINE", "").strip().lower()
     if engine:
         if engine not in ("hash", "device", "cascade", "host", "auto"):
@@ -46,7 +73,9 @@ def _select_engine() -> str:
     try:
         import jax
 
-        return "device" if jax.default_backend() == "tpu" else "hash"
+        if jax.default_backend() != "tpu":
+            return "hash"
+        return "device" if transport_mbps() >= 500.0 else "hash"
     except Exception:  # jax unavailable/broken: host path works alone
         return "hash"
 
@@ -429,10 +458,35 @@ def run_align(
 
             if engine == "device":
                 from ..align.device_join import DeviceJoinAligner as _Eng
+
+                # multi-chip data plane (SURVEY §2.3): when more than one
+                # device is visible in a single-controller process, the
+                # seed scan shard_maps over a data mesh — tables
+                # replicated, flat rows sharded. Multi-controller runs
+                # keep mesh=None here (the sharded index step is driven
+                # via parallel.device_index + jax.distributed instead).
+                mesh = None
+                try:
+                    import jax
+
+                    if (
+                        jax.process_count() == 1
+                        and len(jax.devices()) > 1
+                    ):
+                        from ..parallel.mesh import make_mesh
+
+                        mesh = make_mesh(len(jax.devices()))
+                        log.info(
+                            "\tdevice cascade sharded over %d devices",
+                            len(jax.devices()),
+                        )
+                except Exception:
+                    mesh = None
+                aligner = _Eng(info.store, references, mesh=mesh)
             else:
                 from ..align.hash_join import HashAligner as _Eng
 
-            aligner = _Eng(info.store, references)
+                aligner = _Eng(info.store, references)
             cache = (
                 os.path.join(info.index_dir, "groot.align")
                 if info.index_dir

@@ -153,3 +153,22 @@ def test_nproc_distributed_tallies():
             f"{res.stderr[-300:]}"
         )
     assert last.startswith("OK"), last
+
+
+def test_run_align_mesh_matches_host_engine():
+    """r4 verdict item 5: the PRODUCTION run_align builds the data mesh
+    when >1 device is visible (8 virtual CPU devices here) and the
+    device-engine BAM records and graph weights equal the host engine's
+    1-device-equivalent run."""
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    import __graft_entry__ as ge
+
+    canon_dev, w_dev, st_dev = ge._run_align_on_mesh(8, "device")
+    canon_host, w_host, st_host = ge._run_align_on_mesh(8, "hash")
+    assert st_dev.alignment_count == st_host.alignment_count > 0
+    assert canon_dev == canon_host
+    np.testing.assert_allclose(w_dev, w_host)
