@@ -85,3 +85,72 @@ def evaluate_bam(bam_path: str, num_test_reads: int) -> AccuracyStats:
         correct_start=correct_start,
         false_positive_alignments=false_pos,
     )
+
+
+def misaligned_breakdown(bam_path: str, store) -> Dict[str, int]:
+    """Classify the harness's "incorrectly aligned" reads (aligned, but
+    no hit names the origin reference). Three bins:
+
+      same_cluster  — some hit lies in the SAME variation graph as the
+                      origin reference: a paralog/allele multimap inside
+                      the origin's ~90%-identity cluster. The reference
+                      harness (testing/groot-accuracy.go:82-132) counts
+                      these as misaligned the same way — exact alignment
+                      against near-identical alleles is genuinely
+                      ambiguous for error-free 150 bp reads;
+      cross_cluster — every hit lies in a different graph than the
+                      origin's: a real seeding/cascade divergence worth
+                      investigating;
+      mangled_correct — the read IS aligned to its origin reference, but
+                      bbmap randomreads mangles '_' to '{' in the
+                      embedded origin name, so the string compare fails.
+                      The reference's own harness does no un-mangling
+                      (testing/groot-accuracy.go:86-109) and counts
+                      these "misaligned" identically;
+      origin_unknown — the origin is not an indexed path even after
+                      un-mangling.
+    """
+    refs, records = bamio.read_bam(bam_path)
+    names = {r.ref_id: r.name for r in refs}
+    name2gid: Dict[str, int] = {}
+    for gid, graph in store.items():
+        for name in graph.paths.values():
+            name2gid[name.lstrip("*")] = gid
+    ref_gid: Dict[int, int] = {
+        rid: name2gid[n.lstrip("*")]
+        for rid, n in names.items()
+        if n.lstrip("*") in name2gid
+    }
+    read_map: Dict[str, List] = {}
+    for rec in records:
+        if rec.flag == bamio.FLAG_UNMAPPED:
+            continue
+        read_map.setdefault(rec.name, []).append(rec)
+    out = {
+        "same_cluster": 0,
+        "cross_cluster": 0,
+        "mangled_correct": 0,
+        "origin_unknown": 0,
+    }
+    for read, hits in read_map.items():
+        parts = read.split("_")
+        origin = parts[9].split("$")[0].split(" ")[0] if len(parts) > 9 else ""
+        if any(names[h.ref_id].lstrip("*") == origin for h in hits):
+            continue  # correctly aligned
+        ogid = name2gid.get(origin)
+        if ogid is None:
+            unmangled = origin.replace("{", "_")
+            if any(
+                names[h.ref_id].lstrip("*") == unmangled for h in hits
+            ):
+                out["mangled_correct"] += 1
+                continue
+            ogid = name2gid.get(unmangled)
+            if ogid is None:
+                out["origin_unknown"] += 1
+                continue
+        if any(ref_gid.get(h.ref_id) == ogid for h in hits):
+            out["same_cluster"] += 1
+        else:
+            out["cross_cluster"] += 1
+    return out
