@@ -389,6 +389,14 @@ class DeviceJoinAligner(HashAligner):
         )
         node_tail = np.full(len(self.node_len), INF40, np.int64)
         np.minimum.at(node_tail, owner_n, dist_n)
+        # sorted (path row, node position) keys: a stage-2 match at
+        # (row, pos) needs a node starting in [pos-NS, pos] on that row
+        # (its contained-node anchor), so two searchsorted probes prune
+        # impossible (match x rank) rows before the rank-incremental
+        # joins ever gather
+        self._rowpos_key = np.sort(
+            (prow_n.astype(np.int64) << 21) + pos_n
+        )
         # sorted path-TAIL hash table for the inline stage-2 overhang
         # lookup (dead-end partial matches, alignment.go:229): key =
         # hash(path[plen-a : plen]) ^ amix[a] ^ gmix[graph] for every
@@ -557,6 +565,18 @@ class DeviceJoinAligner(HashAligner):
                 )
             fn = self._sharded_cache[offs] = jax.jit(sm)
         return fn
+
+    def _near_node(self, rows, pos):
+        """True where some node starts in [pos-NS, pos] on path row
+        `rows` — the necessary condition for any stage-2 (rank, shuffle)
+        hit at `pos`; prunes the joins to genuinely possible rows."""
+        K = self._rowpos_key
+        base = rows.astype(np.int64) << 21
+        lo = np.searchsorted(
+            K, base + np.maximum(pos - NODE_SHUFFLES, 0)
+        )
+        hi = np.searchsorted(K, base + pos, side="right")
+        return hi > lo
 
     # -- row enumeration (host numpy) -----------------------------------
     def _expand_rows(self, nodes):
@@ -751,14 +771,21 @@ class DeviceJoinAligner(HashAligner):
         s3 = np.zeros((n_pairs, 2), bool)
         s4 = np.zeros((n_pairs, 2), bool)
         a_rows: List[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]] = []
+        from ..io import native as _native
+
+        use_nat = _native.available() and not os.environ.get(
+            "GROOT_NO_NATIVE_CASCADE"
+        )
         for r_pair, r_prow, r_base, out in st["calls"]:
             if len(r_pair) == 0:
                 continue
             packed = np.asarray(out)[: len(r_pair)]
+            a_rows.append((r_pair, r_prow, r_base, packed))
+            if use_nat and _native.dev_reduce(packed, r_pair, j1, s3, s4):
+                continue
             jf = packed & 0xFF
             jr = (packed >> 8) & 0xFF
             fl = packed >> 16
-            a_rows.append((r_pair, r_prow, r_base, packed))
             # r_pair is nondecreasing (CSR expansion order): segment
             # reduceat beats ufunc.at by ~10x at this row count
             bnd = np.empty(len(r_pair), bool)
@@ -859,6 +886,16 @@ class DeviceJoinAligner(HashAligner):
             t = self.tables
 
             def enum_matches(v_anchor, vfull):
+                if use_nat:
+                    res = _native.s2_enum(
+                        v_anchor, vfull, crl,
+                        self.anchor_hash, self.anchor_row,
+                        self.anchor_pos, self._anchor_pref,
+                        self.path_len, self.ph_start, self.ph, self.rinv,
+                    )
+                    if res is not None:
+                        self.stage_times["s2_match"] += len(res[0])
+                        return res
                 lo = np.searchsorted(A, v_anchor)
                 hi = np.searchsorted(A, v_anchor, side="right")
                 cnt = (hi - lo).astype(np.int64)
@@ -885,15 +922,16 @@ class DeviceJoinAligner(HashAligner):
                 self.stage_times["s2_match"] += int(ok.sum())
                 return owner[ok], row[ok], pos[ok]
 
-            def overhang_join(tp, oi, cum):
-                """Dead-end overhang stage-2 for pairs `tp`: probe the
-                sorted path-tail hash table with the read's prefix hashes
-                (one key per overhang length a), then join the TRUE
-                matches against the window's contained nodes x shuffles.
+            def overhang_rows(tp, cum):
+                """Dead-end overhang stage-2 candidates for pairs `tp`:
+                probe the sorted path-tail hash table with the read's
+                prefix hashes (one key per overhang length a) and return
+                the TRUE tail matches as (pair, path row, position) rows.
                 Work is proportional to matches, not candidate grids."""
+                E = np.empty(0, np.int64)
                 T = self._tail_hash
                 if len(T) == 0:
-                    return
+                    return E, E, E
                 # dedup probes by (read, graph): a read seeded to several
                 # windows of one graph probes the tail table once
                 ukey = (
@@ -905,7 +943,7 @@ class DeviceJoinAligner(HashAligner):
                 lb2 = crl[urd]
                 amax = int(lb2.max()) - 1
                 if amax < 1:
-                    return
+                    return E, E, E
                 av = np.arange(1, amax + 1, dtype=np.int64)
                 with np.errstate(over="ignore"):
                     keys = (
@@ -922,7 +960,7 @@ class DeviceJoinAligner(HashAligner):
                     (self._tail_bloom[bidx >> 3] >> (bidx & 7)) & 1
                 )
                 if len(alive0) == 0:
-                    return
+                    return E, E, E
                 flatk = flatk[alive0]
                 qi = qi[alive0]
                 self.stage_times["s2_over_srch"] += len(flatk)
@@ -931,7 +969,7 @@ class DeviceJoinAligner(HashAligner):
                 cnt = (hi - lo).astype(np.int64)
                 tot0 = int(cnt.sum())
                 if tot0 == 0:
-                    return
+                    return E, E, E
                 ow = np.repeat(np.arange(len(flatk)), cnt)
                 st2 = np.concatenate(([0], np.cumsum(cnt[:-1])))
                 ai = lo[ow] + (np.arange(tot0) - st2[ow])
@@ -950,54 +988,10 @@ class DeviceJoinAligner(HashAligner):
                 hrow = self._tail_row[ai][hid]
                 ha = self._tail_a[ai][hid]
                 pos2 = self.path_len[hrow].astype(np.int64) - ha
-                # contained-node x shuffle join over the matches,
-                # incremental by rank: runs AFTER the interior join, so
-                # rows whose pair already holds a best key at an earlier
-                # rank (no tie possible) drop without a lookup
-                cn_all = t.cn_cnt[wins[pair2]].astype(np.int64)
-                alive = np.arange(tot)
-                r = 0
-                while len(alive):
-                    has = cn_all[alive] > r
-                    cur = alive[has]
-                    if len(cur) == 0:
-                        break
-                    cur = cur[
-                        best2[pair2[cur], oi]
-                        >= r * (NODE_SHUFFLES + 1)
-                    ]
-                    if len(cur):
-                        self.stage_times["s2_over_rows"] += len(cur)
-                        w_c = wins[pair2[cur]]
-                        grow2 = t.cn_grow[t.cn_ptr[w_c] + r]
-                        cfound, cpos = self._npos_lookup(
-                            grow2, hrow[cur]
-                        )
-                        sh = pos2[cur] - cpos
-                        clen2 = self.node_len[grow2].astype(np.int64)
-                        ok2 = (
-                            cfound
-                            & (sh >= 0)
-                            & (sh <= np.minimum(NODE_SHUFFLES, clen2 - 1))
-                        )
-                        sel = np.flatnonzero(ok2)
-                        if len(sel):
-                            ep = pair2[cur[sel]]
-                            key2 = (
-                                r * (NODE_SHUFFLES + 1) + sh[sel]
-                            )
-                            np.minimum.at(best2[:, oi], ep, key2)
-                            s2_join.append(
-                                (np.full(len(sel), oi, np.int8), ep,
-                                 hrow[cur[sel]], pos2[cur[sel]], key2)
-                            )
-                    alive = alive[has]
-                    alive = alive[
-                        best2[pair2[alive], oi]
-                        >= (r + 1) * (NODE_SHUFFLES + 1)
-                    ]
-                    r += 1
+                keep = self._near_node(hrow, pos2)
+                return pair2[keep], hrow[keep], pos2[keep]
 
+            use_native = not os.environ.get("GROOT_NO_NATIVE_CASCADE")
             for oi, (va, vfl, need_o, cum) in enumerate(
                 (
                     (vf, vfull_f, need_f, cumf),
@@ -1010,86 +1004,136 @@ class DeviceJoinAligner(HashAligner):
                 tq2 = _time.time()
                 m_owner, m_row, m_pos = enum_matches(va, vfl)
                 self.stage_times["s2_enum_s"] += _time.time() - tq2
-                if len(m_owner) == 0:
-                    tq4 = _time.time()
-                    tp = ip[tailrisk[ip]]
-                    if len(tp):
-                        overhang_join(tp, oi, cum)
-                    self.stage_times["s2_over_s"] += _time.time() - tq4
-                    continue
-                mkey = m_owner * np.int64(self.G) + pg[m_row]
-                mo = np.argsort(mkey, kind="stable")
-                mkey, m_row, m_pos = mkey[mo], m_row[mo], m_pos[mo]
-                pkey = (
-                    safe[ip].astype(np.int64) * self.G
-                    + c_g[combo_of_pair[ip]]
-                )
-                mlo = np.searchsorted(mkey, pkey)
-                mhi = np.searchsorted(mkey, pkey, side="right")
-                cm = mhi - mlo
-                tot = int(cm.sum())
-                if tot == 0:
-                    tq4 = _time.time()
-                    tp = ip[tailrisk[ip]]
-                    if len(tp):
-                        overhang_join(tp, oi, cum)
-                    self.stage_times["s2_over_s"] += _time.time() - tq4
-                    continue
-                pmo = np.repeat(np.arange(len(ip)), cm)
-                st0 = np.concatenate(([0], np.cumsum(cm[:-1])))
-                mi = mlo[pmo] + (np.arange(tot) - st0[pmo])
-                pm_pair = ip[pmo]
-                e_row = m_row[mi]
-                e_pos = m_pos[mi]
-                # contained-node x shuffle join, INCREMENTAL over the rank
-                # axis: key2 = rank*(NS+1)+sh is lexicographic in (rank,
-                # sh), so the first rank with any valid shuffle decides a
-                # pair and its remaining (match, rank) rows drop out —
-                # expected work ~1 lookup per match instead of cn_cnt
-                cn_all = t.cn_cnt[wins[pm_pair]].astype(np.int64)
-                alive = np.arange(tot)
-                r = 0
-                while len(alive):
-                    has = cn_all[alive] > r
-                    cur = alive[has]
-                    if len(cur) == 0:
-                        break
-                    self.stage_times["s2_join_rows"] += len(cur)
-                    w_c = wins[pm_pair[cur]]
-                    grow = t.cn_grow[t.cn_ptr[w_c] + r]
-                    cfound, cpos = self._npos_lookup(grow, e_row[cur])
-                    sh = e_pos[cur] - cpos
-                    clen = self.node_len[grow].astype(np.int64)
-                    ok2 = (
-                        cfound
-                        & (sh >= 0)
-                        & (sh <= np.minimum(NODE_SHUFFLES, clen - 1))
+                tq2 = _time.time()
+                # interior candidates fanned out per pair (near-node
+                # pruned: a hit needs a node starting within NS of it)
+                if len(m_owner):
+                    mkey = m_owner * np.int64(self.G) + pg[m_row]
+                    mo = np.argsort(mkey, kind="stable")
+                    mkey, m_rowS, m_posS = mkey[mo], m_row[mo], m_pos[mo]
+                    pkey = (
+                        safe[ip].astype(np.int64) * self.G
+                        + c_g[combo_of_pair[ip]]
                     )
-                    sel = np.flatnonzero(ok2)
-                    if len(sel):
-                        ep = pm_pair[cur[sel]]
-                        key2 = r * (NODE_SHUFFLES + 1) + sh[sel]
-                        np.minimum.at(best2[:, oi], ep, key2)
-                        s2_join.append(
-                            (np.full(len(sel), oi, np.int8), ep,
-                             e_row[cur[sel]], e_pos[cur[sel]], key2)
-                        )
-                    # drop rows of pairs whose winning key lies at this or
-                    # an earlier rank (an overhang best at a LATER rank
-                    # must not stop earlier-rank interior evaluation)
-                    alive = alive[has]
-                    undecided = best2[pm_pair[alive], oi] >= (r + 1) * (
-                        NODE_SHUFFLES + 1
+                    mlo = np.searchsorted(mkey, pkey)
+                    mhi = np.searchsorted(mkey, pkey, side="right")
+                    cm = mhi - mlo
+                    tot = int(cm.sum())
+                else:
+                    tot = 0
+                if tot:
+                    pmo = np.repeat(np.arange(len(ip)), cm)
+                    st0 = np.concatenate(([0], np.cumsum(cm[:-1])))
+                    mi = mlo[pmo] + (np.arange(tot) - st0[pmo])
+                    pm_pair = ip[pmo]
+                    e_row = m_rowS[mi]
+                    e_pos = m_posS[mi]
+                    keep = self._near_node(e_row, e_pos)
+                    pm_pair, e_row, e_pos = (
+                        pm_pair[keep], e_row[keep], e_pos[keep],
                     )
-                    alive = alive[undecided]
-                    r += 1
+                else:
+                    pm_pair = np.empty(0, np.int64)
+                    e_row = np.empty(0, np.int64)
+                    e_pos = np.empty(0, np.int64)
                 self.stage_times["s2_int_s"] += _time.time() - tq2
-                # overhang AFTER interior: decided pairs prune its join
+                # dead-end overhang candidates (near-node pruned)
                 tq4 = _time.time()
                 tp = ip[tailrisk[ip]]
                 if len(tp):
-                    overhang_join(tp, oi, cum)
+                    o_pair, o_row, o_pos = overhang_rows(tp, cum)
+                else:
+                    o_pair = o_row = o_pos = np.empty(0, np.int64)
                 self.stage_times["s2_over_s"] += _time.time() - tq4
+                n_all = len(pm_pair) + len(o_pair)
+                if n_all == 0:
+                    continue
+                tq5 = _time.time()
+                all_pair = np.concatenate((pm_pair, o_pair))
+                all_row = np.concatenate((e_row, o_row))
+                all_pos = np.concatenate((e_pos, o_pos))
+                self.stage_times["s2_join_rows"] += n_all
+                order = np.argsort(all_pair, kind="stable")
+                all_pair = all_pair[order]
+                all_row = all_row[order]
+                all_pos = all_pos[order]
+                bnd = np.empty(n_all, bool)
+                bnd[0] = True
+                np.not_equal(all_pair[1:], all_pair[:-1], out=bnd[1:])
+                segs = np.flatnonzero(bnd)
+                sel_pairs = all_pair[segs]
+                cand_ptr = np.append(segs, n_all).astype(np.int64)
+                cand_ptr = np.concatenate(([0], cand_ptr[1:]))
+                res = None
+                if use_native:
+                    from ..io import native as _native
+
+                    res = _native.s2_decide(
+                        sel_pairs, wins[sel_pairs].astype(np.int64),
+                        cand_ptr, all_row, all_pos,
+                        t.cn_ptr, t.cn_cnt, t.cn_grow,
+                        self.node_base, self.node_g, self.g_first_row,
+                        self.npos_dense, self.node_len, NODE_SHUFFLES,
+                    )
+                if res is not None:
+                    bestk, id_p, id_r, id_ps, id_k = res
+                    dec = bestk >= 0
+                    best2[sel_pairs[dec], oi] = bestk[dec]
+                    if len(id_p):
+                        s2_join.append(
+                            (np.full(len(id_p), oi, np.int8), id_p,
+                             id_r, id_ps, id_k)
+                        )
+                else:
+                    # numpy fallback: the same lexicographic decision,
+                    # incremental over the rank axis with drop-out
+                    cn_all = t.cn_cnt[all_pair_w := wins[all_pair]].astype(
+                        np.int64
+                    )
+                    alive = np.arange(n_all)
+                    r = 0
+                    while len(alive):
+                        has = cn_all[alive] > r
+                        cur = alive[has]
+                        if len(cur) == 0:
+                            break
+                        cur = cur[
+                            best2[all_pair[cur], oi]
+                            >= r * (NODE_SHUFFLES + 1)
+                        ]
+                        if len(cur):
+                            grow = t.cn_grow[t.cn_ptr[all_pair_w[cur]] + r]
+                            cfound, cpos = self._npos_lookup(
+                                grow, all_row[cur]
+                            )
+                            sh = all_pos[cur] - cpos
+                            clen = self.node_len[grow].astype(np.int64)
+                            ok2 = (
+                                cfound
+                                & (sh >= 0)
+                                & (sh <= np.minimum(
+                                    NODE_SHUFFLES, clen - 1
+                                ))
+                            )
+                            selr = np.flatnonzero(ok2)
+                            if len(selr):
+                                ep = all_pair[cur[selr]]
+                                key2 = (
+                                    r * (NODE_SHUFFLES + 1) + sh[selr]
+                                )
+                                np.minimum.at(best2[:, oi], ep, key2)
+                                s2_join.append(
+                                    (np.full(len(selr), oi, np.int8), ep,
+                                     all_row[cur[selr]],
+                                     all_pos[cur[selr]], key2)
+                                )
+                        alive = alive[has]
+                        alive = alive[
+                            best2[all_pair[alive], oi]
+                            >= (r + 1) * (NODE_SHUFFLES + 1)
+                        ]
+                        r += 1
+                self.stage_times["s2_dec_s"] += _time.time() - tq5
             s2 = best2 < BIG2
             n_needb = int(((need_f | need_r) & tailrisk).sum())
             with self._st_lock:
@@ -1123,7 +1167,19 @@ class DeviceJoinAligner(HashAligner):
             combo_stage[wc] = stage[wp]
             is_winner = np.zeros(n_pairs, bool)
             is_winner[wp] = True
+            pickj1 = pick(j1)
+            ori_u8 = ori.astype(np.uint8)
+            stage_u8 = stage.astype(np.uint8)
             for r_pair, r_prow, r_base, packed in a_rows:
+                if use_nat:
+                    res = _native.dev_ids(
+                        packed, r_pair, r_prow, r_base, is_winner,
+                        ori_u8, stage_u8, pickj1, combo_of_pair,
+                    )
+                    if res is not None:
+                        if len(res[0]):
+                            id_parts.append(res)
+                        continue
                 pk = packed
                 w_sel = is_winner[r_pair]
                 p_ori = ori[r_pair]

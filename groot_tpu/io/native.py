@@ -178,6 +178,32 @@ def _load() -> Optional[ctypes.CDLL]:
             _I32P, _LP,              # per-record ref_id, pos
             _U8P, _LONG,             # out
         ]
+        lib.gio_dev_reduce.restype = None
+        lib.gio_dev_reduce.argtypes = [
+            _I32P, _I64Pq, _LONG, _I64Pq, _U8P, _U8P,
+        ]
+        lib.gio_dev_ids.restype = _LONG
+        lib.gio_dev_ids.argtypes = [
+            _I32P, _I64Pq, _I32Pq, _I32Pq, _LONG,
+            _U8P, _U8P, _U8P, _I64Pq, _I64Pq,
+            _I64Pq, _I64Pq, _I64Pq,
+        ]
+        lib.gio_s2_enum.restype = _LONG
+        lib.gio_s2_enum.argtypes = [
+            _LONG, _U64P_, _U64P_, _I64Pq,
+            _LONG, _U64P_, _I32Pq, _I32Pq, _I32Pq, _LONG,
+            _I32Pq, _I64Pq, _U64P_, _U64P_,
+            _I64Pq, _I64Pq, _I64Pq, _LONG,
+        ]
+        lib.gio_s2_decide.restype = _LONG
+        lib.gio_s2_decide.argtypes = [
+            _LONG, _I64Pq, _I64Pq,
+            _I64Pq, _I64Pq, _I64Pq,
+            _I64Pq, _I32Pq, _I64Pq,
+            _I64Pq, _I32Pq, _I64Pq, _I32Pq, _LONG, _I32Pq, _LONG,
+            _I64Pq,
+            _I64Pq, _I64Pq, _I64Pq, _I64Pq,
+        ]
         _U32P = np.ctypeslib.ndpointer(dtype=np.uint32, flags="C_CONTIGUOUS")
         lib.gio_bam_fill.restype = None
         lib.gio_bam_fill.argtypes = [
@@ -809,3 +835,115 @@ def bgzf_many(data, bs: int = 0xFF00):
     if n < 0:
         return None
     return out[:n]
+
+
+def dev_reduce(packed, r_pair, j1, s3, s4) -> bool:
+    """Phase-A drain reduction for the device engine (gio_dev_reduce):
+    per-pair stage-1 min offsets + clip-flag ORs, in place."""
+    lib = _load()
+    if lib is None:
+        return False
+    lib.gio_dev_reduce(
+        np.ascontiguousarray(packed, np.int32),
+        np.ascontiguousarray(r_pair, np.int64),
+        len(packed),
+        j1, s3.view(np.uint8), s4.view(np.uint8),
+    )
+    return True
+
+
+def dev_ids(packed, r_pair, r_prow, r_base, is_winner, ori, stage,
+            j1pick, combo_of_pair):
+    """Winner-id recovery for one seed_scan call (gio_dev_ids). Returns
+    (combo, row, pos) arrays or None without the native library."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(packed)
+    out_c = np.empty(n, np.int64)
+    out_r = np.empty(n, np.int64)
+    out_p = np.empty(n, np.int64)
+    m = lib.gio_dev_ids(
+        np.ascontiguousarray(packed, np.int32),
+        np.ascontiguousarray(r_pair, np.int64),
+        np.ascontiguousarray(r_prow, np.int32),
+        np.ascontiguousarray(r_base, np.int32),
+        n,
+        is_winner.view(np.uint8),
+        np.ascontiguousarray(ori, np.uint8),
+        np.ascontiguousarray(stage, np.uint8),
+        np.ascontiguousarray(j1pick, np.int64),
+        np.ascontiguousarray(combo_of_pair, np.int64),
+        out_c, out_r, out_p,
+    )
+    return out_c[:m], out_r[:m], out_p[:m]
+
+
+def s2_decide(sel_pair, sel_win, cand_ptr, cand_row, cand_pos,
+              cn_ptr, cn_cnt, cn_grow, node_base, node_g, g_first_row,
+              npos_dense, node_len, ns):
+    """Inline stage-2 (rank x shuffle) decision (gio_s2_decide). Returns
+    (best_key_per_sel, id_pair, id_row, id_pos, id_key) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    n_sel = len(sel_pair)
+    best = np.empty(n_sel, np.int64)
+    cap = len(cand_row) if len(cand_row) else 1
+    id_pair = np.empty(cap, np.int64)
+    id_row = np.empty(cap, np.int64)
+    id_pos = np.empty(cap, np.int64)
+    id_key = np.empty(cap, np.int64)
+    m = lib.gio_s2_decide(
+        n_sel,
+        np.ascontiguousarray(sel_pair, np.int64),
+        np.ascontiguousarray(sel_win, np.int64),
+        np.ascontiguousarray(cand_ptr, np.int64),
+        np.ascontiguousarray(cand_row, np.int64),
+        np.ascontiguousarray(cand_pos, np.int64),
+        np.ascontiguousarray(cn_ptr, np.int64),
+        np.ascontiguousarray(cn_cnt, np.int32),
+        np.ascontiguousarray(cn_grow, np.int64),
+        np.ascontiguousarray(node_base, np.int64),
+        np.ascontiguousarray(node_g, np.int32),
+        np.ascontiguousarray(g_first_row, np.int64),
+        np.ascontiguousarray(npos_dense, np.int32),
+        len(npos_dense),
+        np.ascontiguousarray(node_len, np.int32),
+        ns,
+        best,
+        id_pair, id_row, id_pos, id_key,
+    )
+    return best, id_pair[:m], id_row[:m], id_pos[:m], id_key[:m]
+
+
+def s2_enum(va, vfull, crl, anchor_hash, anchor_row, anchor_pos, apref,
+            path_len, ph_start, ph, rinv):
+    """Interior stage-2 candidate enumeration (gio_s2_enum). Returns
+    (owner, row, pos) arrays or None without the native library."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(va)
+    cap = max(32 * n, 4096)
+    a_row = np.ascontiguousarray(anchor_row, np.int32)
+    a_pos = np.ascontiguousarray(anchor_pos, np.int32)
+    pl = np.ascontiguousarray(path_len, np.int32)
+    while True:
+        out_o = np.empty(cap, np.int64)
+        out_r = np.empty(cap, np.int64)
+        out_p = np.empty(cap, np.int64)
+        m = lib.gio_s2_enum(
+            n,
+            np.ascontiguousarray(va, np.uint64),
+            np.ascontiguousarray(vfull, np.uint64),
+            np.ascontiguousarray(crl, np.int64),
+            len(anchor_hash), anchor_hash, a_row, a_pos,
+            np.ascontiguousarray(apref, np.int32), 64 - PREF_BITS,
+            pl, np.ascontiguousarray(ph_start, np.int64),
+            ph, np.ascontiguousarray(rinv, np.uint64),
+            out_o, out_r, out_p, cap,
+        )
+        if m >= 0:
+            return out_o[:m], out_r[:m], out_p[:m]
+        cap *= 4

@@ -1601,3 +1601,179 @@ done:
     delete[] pref; delete[] suff; delete[] wsk;
     return n_out;
 }
+
+// ---------------------------------------------------------------------------
+// Device-engine collect acceleration (align/device_join.collect_pairs).
+// These replace the numpy drain reduction, winner-id recovery and the
+// inline stage-2 (rank x shuffle) decision — the host-side hot loops of
+// the device cascade engine. Pure array passes; no allocation.
+
+// Per-pair phase-A reduction over one seed_scan call's rows: min stage-1
+// offset per orientation + clip-stage flag ORs. j1 is [n_pairs, 2] i64
+// (caller-initialised to INF); s3/s4 are [n_pairs, 2] u8.
+extern "C" void gio_dev_reduce(
+    const int32_t* packed, const int64_t* r_pair, long n,
+    int64_t* j1, uint8_t* s3, uint8_t* s4
+) {
+    for (long i = 0; i < n; i++) {
+        const long p = r_pair[i];
+        const int32_t pk = packed[i];
+        const long jf = pk & 0xFF, jr = (pk >> 8) & 0xFF;
+        const int fl = pk >> 16;
+        if (jf != 255 && jf < j1[p * 2]) j1[p * 2] = jf;
+        if (jr != 255 && jr < j1[p * 2 + 1]) j1[p * 2 + 1] = jr;
+        s3[p * 2] |= fl & 1;
+        s4[p * 2] |= (fl >> 1) & 1;
+        s3[p * 2 + 1] |= (fl >> 2) & 1;
+        s4[p * 2 + 1] |= (fl >> 3) & 1;
+    }
+}
+
+// Winner-id recovery over one call's rows: for rows of winning pairs,
+// emit (combo, path row, position) where the row's packed result
+// matches the pair's winning (orientation, stage, offset). Returns the
+// id count (cap = n is always sufficient: <= 1 id per row).
+extern "C" long gio_dev_ids(
+    const int32_t* packed, const int64_t* r_pair, const int32_t* r_prow,
+    const int32_t* r_base, long n,
+    const uint8_t* is_winner, const uint8_t* ori, const uint8_t* stage,
+    const int64_t* j1pick, const int64_t* combo_of_pair,
+    int64_t* out_combo, int64_t* out_row, int64_t* out_pos
+) {
+    long m = 0;
+    for (long i = 0; i < n; i++) {
+        const long p = r_pair[i];
+        if (!is_winner[p]) continue;
+        const int o = ori[p];
+        const int st = stage[p];
+        const int32_t pk = packed[i];
+        const long jsel = o ? (pk >> 8) & 0xFF : pk & 0xFF;
+        const int fl = pk >> 16;
+        bool hit = false;
+        long off = 0;
+        if (st == 1) { hit = jsel == j1pick[p]; off = jsel; }
+        else if (st == 3) hit = (o ? (fl >> 2) : fl) & 1;
+        else if (st == 4) hit = (o ? (fl >> 3) : (fl >> 1)) & 1;
+        if (hit) {
+            out_combo[m] = combo_of_pair[p];
+            out_row[m] = r_prow[i];
+            out_pos[m] = r_base[i] + off;
+            m++;
+        }
+    }
+    return m;
+}
+
+// Inline stage-2 decision: for each selected pair, the host cascade's
+// lexicographic (contained-node rank, shuffle) winner over the pair's
+// candidate (path row, position) list (interior matches + overhang tail
+// matches merged by the caller). First rank with any valid shuffle
+// wins; min shuffle breaks ties within the rank. For every DECIDED pair
+// all candidates at the winning (rank, shuffle) are emitted as ids (the
+// caller filters to combo winners later). Returns the id count.
+extern "C" long gio_s2_decide(
+    long n_sel, const int64_t* sel_pair, const int64_t* sel_win,
+    const int64_t* cand_ptr, const int64_t* cand_row,
+    const int64_t* cand_pos,
+    const int64_t* cn_ptr, const int32_t* cn_cnt, const int64_t* cn_grow,
+    const int64_t* node_base, const int32_t* node_g,
+    const int64_t* g_first_row, const int32_t* npos_dense,
+    long npos_len, const int32_t* node_len, long ns,
+    int64_t* best_out,
+    int64_t* id_pair, int64_t* id_row, int64_t* id_pos, int64_t* id_key
+) {
+    long m = 0;
+    for (long s = 0; s < n_sel; s++) {
+        const long w = sel_win[s];
+        const int nc = cn_cnt[w];
+        const long c0 = cand_ptr[s], c1 = cand_ptr[s + 1];
+        long best = -1, bestsh = -1;
+        int bestr = -1;
+        for (int r = 0; r < nc; r++) {
+            const long grow = cn_grow[cn_ptr[w] + r];
+            const long nb = node_base[grow];
+            const long gfr = g_first_row[node_g[grow]];
+            const long clen = node_len[grow];
+            const long shmax = ns < clen - 1 ? ns : clen - 1;
+            long minsh = -1;
+            for (long c = c0; c < c1; c++) {
+                const long ix = nb + cand_row[c] - gfr;
+                if (ix < 0 || ix >= npos_len) continue;  // collision guard
+                const long cpos = npos_dense[ix];
+                if (cpos < 0) continue;
+                const long sh = cand_pos[c] - cpos;
+                if (sh >= 0 && sh <= shmax && (minsh < 0 || sh < minsh))
+                    minsh = sh;
+            }
+            if (minsh >= 0) {
+                bestr = r;
+                bestsh = minsh;
+                best = (long)r * (ns + 1) + minsh;
+                break;
+            }
+        }
+        best_out[s] = best;
+        if (best < 0) continue;
+        const long grow = cn_grow[cn_ptr[w] + bestr];
+        const long nb = node_base[grow];
+        const long gfr = g_first_row[node_g[grow]];
+        for (long c = c0; c < c1; c++) {
+            const long ix = nb + cand_row[c] - gfr;
+            if (ix < 0 || ix >= npos_len) continue;
+            const long cpos = npos_dense[ix];
+            if (cpos >= 0 && cand_pos[c] - cpos == bestsh) {
+                id_pair[m] = sel_pair[s];
+                id_row[m] = cand_row[c];
+                id_pos[m] = cand_pos[c];
+                id_key[m] = best;
+                m++;
+            }
+        }
+    }
+    return m;
+}
+
+// Interior stage-2 candidate enumeration: for each read, walk the
+// anchor-table range of its first-k window hash (prefix16-bucketed
+// binary search) and emit the TRUE full-variant interior matches
+// (full-length polynomial hash equality). Returns match count, or -1 if
+// cap would overflow.
+extern "C" long gio_s2_enum(
+    long n_reads, const uint64_t* va, const uint64_t* vfull,
+    const int64_t* crl,
+    long n_anchor, const uint64_t* anchor_hash,
+    const int32_t* anchor_row, const int32_t* anchor_pos,
+    const int32_t* apref, long pref_shift,
+    const int32_t* path_len, const int64_t* ph_start,
+    const uint64_t* ph, const uint64_t* rinv,
+    int64_t* out_owner, int64_t* out_row, int64_t* out_pos, long cap
+) {
+    long m = 0;
+    for (long i = 0; i < n_reads; i++) {
+        const uint64_t v = va[i];
+        long lo = apref[v >> pref_shift], hi = apref[(v >> pref_shift) + 1];
+        // lower bound
+        while (lo < hi) {
+            const long mid = (lo + hi) >> 1;
+            if (anchor_hash[mid] < v) lo = mid + 1; else hi = mid;
+        }
+        const long lb = crl[i];
+        const uint64_t vf = vfull[i];
+        for (long a = lo; a < n_anchor && anchor_hash[a] == v; a++) {
+            const long row = anchor_row[a];
+            const long pos = anchor_pos[a];
+            const long plen = path_len[row];
+            if (pos + lb > plen) continue;  // overhang: tail table's job
+            const long s = ph_start[row];
+            const uint64_t hint = (ph[s + pos + lb] - ph[s + pos])
+                                  * rinv[pos];
+            if (hint != vf) continue;
+            if (m >= cap) return -1;
+            out_owner[m] = i;
+            out_row[m] = row;
+            out_pos[m] = pos;
+            m++;
+        }
+    }
+    return m;
+}
