@@ -224,7 +224,10 @@ def main() -> int:
         """Fold the device aligner's per-stage counters (summed over the
         passes since the last grab) into secondary — bench observability
         without a profiler session (r4 verdict item 7)."""
-        rt = getattr(info, "_align_rt", None)
+        rts = getattr(info, "_align_rt", None) or {}
+        rt = next(
+            (v for k2, v in rts.items() if k2[0] == "device"), None
+        )
         if rt is None or not hasattr(rt[1], "stage_times"):
             return
         st = rt[1].stage_times

@@ -415,17 +415,24 @@ def run_align(
     acc = None
     # setup cache: the aligner/tables are pure functions of (index, store,
     # k, engine); repeated run_align calls on one loaded Info (API users,
-    # multi-pass benchmarks) skip the ~0.25s sidecar load + table epilogue
+    # multi-pass benchmarks) skip the ~0.25s sidecar load + table
+    # epilogue. Keyed PER ENGINE (small dict) so alternating engines —
+    # the bench interleaves host/device passes — does not rebuild the
+    # device tables (several seconds) on every switch.
     engine = _select_engine()
     # the cache tuple pins the exact index/store objects, so the ids in the
     # key cannot be recycled by a different object while the cache lives
     rt_key = (engine, id(index), id(info.store), k, no_align)
-    rt = getattr(info, "_align_rt", None)
-    if rt is not None and rt[0] != rt_key:
-        # drop the stale runtime BEFORE rebuilding so the old index/store/
+    rts = getattr(info, "_align_rt", None)
+    if rts is None or not isinstance(rts, dict):
+        info._align_rt = rts = {}
+    stale = [k_ for k_ in rts if k_[1:] != rt_key[1:]]
+    for k_ in stale:
+        # drop stale runtimes BEFORE rebuilding so the old index/store/
         # tables become collectible (they can pin ~100MB of arrays + mmaps)
-        info._align_rt = rt = None
-    if rt is not None and rt[0] == rt_key:
+        del rts[k_]
+    rt = rts.get(rt_key)
+    if rt is not None:
         aligner, tables = rt[1], rt[2]
         if not no_align:
             references = getattr(aligner, "references", None)
@@ -504,13 +511,13 @@ def run_align(
                     except OSError:
                         pass
             acc = WeightAccumulator(tables)
-        info._align_rt = (rt_key, aligner, tables, index, info.store)
+        rts[rt_key] = (rt_key, aligner, tables, index, info.store)
     else:
         from ..align.batch_host import WeightAccumulator, WindowTables
 
         tables = WindowTables(index, info.store)
         acc = WeightAccumulator(tables)
-        info._align_rt = (rt_key, aligner, tables, index, info.store)
+        rts[rt_key] = (rt_key, aligner, tables, index, info.store)
 
     # fast path: plain/gzip FASTQ files through the native scanner; FASTA or
     # STDIN fall back to the Python streamer

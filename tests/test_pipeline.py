@@ -163,11 +163,13 @@ def test_run_align_setup_cache_reuse(built_index, tmp_path):
         return stats, bamio.read_bam(bam_path)
 
     st1, (refs1, recs1) = one_pass("a.bam")
-    rt = getattr(info, "_align_rt", None)
-    assert rt is not None
-    aligner_first = rt[1]
+    rts = getattr(info, "_align_rt", None)
+    assert rts  # per-engine runtime cache dict
+    aligner_first = next(iter(rts.values()))[1]
     st2, (refs2, recs2) = one_pass("b.bam")
-    assert info._align_rt[1] is aligner_first  # cache hit, same aligner
+    assert (
+        next(iter(info._align_rt.values()))[1] is aligner_first
+    )  # cache hit, same aligner
     assert (st1.received, st1.mapped, st1.alignment_count) == (
         st2.received, st2.mapped, st2.alignment_count
     )
