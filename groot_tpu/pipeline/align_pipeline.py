@@ -943,8 +943,15 @@ def _compute_hits(info, batch, kmer_counts, k, s, t, tables):
 def _map_hits(batches, info, k, s, t, tables, batch_size):
     """Ingest-side stage for the async device engine: pad each batch to
     the pipeline shape and attach its precomputed hit list, so the main
-    thread only runs the cascade submit/collect."""
-    for batch in batches:
+    thread only runs the cascade submit/collect. The per-batch prep
+    (pad + sketch + LSH query + hit sort — all host-native, GIL-
+    releasing) runs on a small ordered worker pool: the single ingest
+    thread was the device engine's serial bottleneck on sketch-dominated
+    workloads (the metagenome mix rejects ~99% of reads right here)."""
+    import collections
+    from concurrent.futures import ThreadPoolExecutor
+
+    def prep(batch):
         if batch.n < batch_size:
             _pad_batch(batch, batch_size, k)
         kmer_counts = (batch.lengths - k + 1).astype(np.int32)
@@ -952,7 +959,20 @@ def _map_hits(batches, info, k, s, t, tables, batch_size):
             batch._hits = _compute_hits(
                 info, batch, kmer_counts, k, s, t, tables
             )
-        yield batch
+        return batch
+
+    workers = min(os.cpu_count() or 2, 2)
+    pool = ThreadPoolExecutor(max_workers=workers)
+    futs: "collections.deque" = collections.deque()
+    try:
+        for batch in batches:
+            futs.append(pool.submit(prep, batch))
+            while len(futs) > workers:
+                yield futs.popleft().result()
+        while futs:
+            yield futs.popleft().result()
+    finally:
+        pool.shutdown(wait=False)
 
 
 def _process_batch(
