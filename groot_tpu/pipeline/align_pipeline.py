@@ -86,10 +86,16 @@ class ReadBatch:
     stitched from several scanner segments (``segs``); ``n_valid`` < n rows
     marks shape-stabilising padding appended by the pipeline."""
 
-    def __init__(self, codes, lengths, reads=None, segs=None, n_valid=None):
-        self.codes = codes      # u8 [B, L]
+    def __init__(self, codes, lengths, reads=None, segs=None, n_valid=None,
+                 shape=None):
+        # codes may be None with `shape` set: the padded code matrix then
+        # materialises lazily on first access — the native encode runs on
+        # whichever worker thread first touches the batch instead of the
+        # serial ingest thread (the metagenome mix is ingest-bound)
+        self._codes = codes     # u8 [B, L] or None (lazy)
+        self._shape = shape if codes is None else codes.shape
         self.lengths = lengths  # i32 [B]
-        self.n_valid = codes.shape[0] if n_valid is None else n_valid
+        self.n_valid = self._shape[0] if n_valid is None else n_valid
         self._reads = reads
         self._segs = segs       # [(buf, (io, il, so, sl, qo, ql)), ...]
         if segs is not None:
@@ -98,8 +104,29 @@ class ReadBatch:
             )
 
     @property
+    def codes(self):
+        c = self._codes
+        if c is None:
+            from ..io import native
+
+            n_total, L = self._shape
+            c = np.empty((n_total, L), np.uint8)
+            base = 0
+            for b, a in self._segs:
+                n_seg = len(a[2])
+                native.encode_batch(b, a[2], a[3], L, out=c[base : base + n_seg])
+                base += n_seg
+            self._codes = c
+        return c
+
+    @codes.setter
+    def codes(self, value):
+        self._codes = value
+        self._shape = value.shape
+
+    @property
     def n(self) -> int:
-        return self.codes.shape[0]
+        return self._shape[0]
 
     def payloads(self, rows=None):
         """Concatenated (id, seq, qual) byte arrays + per-read offsets for
@@ -230,19 +257,14 @@ def _make_batch(reads: List[FastqRead]) -> ReadBatch:
 
 
 def _batch_from_segs(segs) -> ReadBatch:
-    from ..io import native
-
     max_len = max(int(s[1][3].max()) for s in segs)
     L = int(math.ceil(max(max_len, 32) / 32) * 32)
     n_total = sum(len(a[2]) for _, a in segs)
-    codes = np.empty((n_total, L), np.uint8)
-    base = 0
-    for b, a in segs:  # encode straight into the batch matrix (no concat)
-        n_seg = len(a[2])
-        native.encode_batch(b, a[2], a[3], L, out=codes[base : base + n_seg])
-        base += n_seg
     lengths = np.concatenate([a[3] for _, a in segs]).astype(np.int32)
-    return ReadBatch(codes=codes, lengths=lengths, segs=segs)
+    # codes encode lazily on the first consumer thread (ReadBatch.codes)
+    return ReadBatch(
+        codes=None, lengths=lengths, segs=segs, shape=(n_total, L)
+    )
 
 
 def batch_reads_native(
