@@ -272,7 +272,7 @@ def main() -> int:
             mix_work.append(
                 ("metagenome_device_engine", "device", [mix], mix_batch)
             )
-        mix_rates = measure_interleaved(mix_work, rounds=4)
+        mix_rates = measure_interleaved(mix_work, rounds=6)
         for name, engine, *_ in mix_work:
             st2 = last_stats[engine]
             sec[name] = max(mix_rates[name])
