@@ -123,7 +123,7 @@ def build_parser() -> argparse.ArgumentParser:
     )
     acc.add_argument("--bamFile", required=True)
     acc.add_argument("--numReads", type=int, required=True)
-    add_globals(acc)
+    add_globals(acc)  # -i/--indexDir enables the misaligned breakdown
 
     v = sub.add_parser("version", help="print the version")
     add_globals(v)
@@ -336,6 +336,22 @@ def cmd_accuracy(args) -> int:
 
     stats = evaluate_bam(args.bamFile, args.numReads)
     sys.stdout.write(stats.format())
+    if getattr(args, "indexDir", None):
+        # cluster-membership decomposition of the "incorrectly aligned"
+        # bin (paralog multimaps vs real divergences vs bbmap read-name
+        # mangling) — needs the graph store for path->cluster membership
+        from .config import Info
+        from .report.accuracy import misaligned_breakdown
+
+        info = Info.load(os.path.join(args.indexDir, "groot.gg"))
+        bd = misaligned_breakdown(args.bamFile, info.store)
+        sys.stdout.write(
+            "misaligned breakdown: "
+            f"{bd['same_cluster']} same-cluster paralog multimap, "
+            f"{bd['cross_cluster']} cross-cluster, "
+            f"{bd['mangled_correct']} correct-but-name-mangled, "
+            f"{bd['origin_unknown']} origin unknown\n"
+        )
     return 0
 
 
