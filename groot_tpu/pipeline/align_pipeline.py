@@ -983,6 +983,16 @@ def _map_hits(batches, info, k, s, t, tables, batch_size):
             )
         return batch
 
+    from ..io import native as _native
+
+    if not _native.available():
+        # without the native sketcher _compute_hits falls back to jax —
+        # which must never dispatch from two threads at once on the axon
+        # client — so prep stays on this single ingest thread
+        for batch in batches:
+            yield prep(batch)
+        return
+
     workers = min(os.cpu_count() or 2, 2)
     pool = ThreadPoolExecutor(max_workers=workers)
     futs: "collections.deque" = collections.deque()
