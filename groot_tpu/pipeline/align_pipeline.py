@@ -498,13 +498,18 @@ def run_align(
                 try:
                     import jax
 
+                    from ..align.device_join import ROW_BUCKETS
+
+                    n_dev = len(jax.devices())
                     if (
                         jax.process_count() == 1
-                        and len(jax.devices()) > 1
+                        and n_dev > 1
+                        # row buckets must shard evenly over the mesh
+                        and ROW_BUCKETS[0] % n_dev == 0
                     ):
                         from ..parallel.mesh import make_mesh
 
-                        mesh = make_mesh(len(jax.devices()))
+                        mesh = make_mesh(n_dev)
                         log.info(
                             "\tdevice cascade sharded over %d devices",
                             len(jax.devices()),
