@@ -829,12 +829,19 @@ class _RecSink:
     def write(self, rec) -> None:
         self.items.append(("rec", rec, 1))
 
+    def write_groups(self, *args) -> None:
+        # numpy BAM assembly route (_emit_flat without the native
+        # emitter): buffer the vectorized group arrays verbatim
+        self.items.append(("groups", args, 0))
+
     def replay(self, bam_writer) -> None:
         if bam_writer is None:
             return
         for kind, item, count in self.items:
             if kind == "raw":
                 bam_writer.write_raw(item, count)
+            elif kind == "groups":
+                bam_writer.write_groups(*item)
             else:
                 bam_writer.write(item)
 

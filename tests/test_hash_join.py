@@ -39,6 +39,9 @@ def _run(built_index, tmp_path, engine: str):
             ("GROOT_ENGINE", "hash"), ("GROOT_NO_NATIVE_CASCADE", "1")
         ],
         "device": [("GROOT_ENGINE", "device")],
+        "device-np": [
+            ("GROOT_ENGINE", "device"), ("GROOT_NO_NATIVE_CASCADE", "1")
+        ],
     }[engine]
     for k, v in env:
         os.environ[k] = v
@@ -74,7 +77,7 @@ def _bam_key_set(path):
     )
 
 
-@pytest.mark.parametrize("engine", ["hash", "hash-np", "device"])
+@pytest.mark.parametrize("engine", ["hash", "hash-np", "device", "device-np"])
 def test_hash_join_matches_legacy(built_index, tmp_path, engine):
     s_host, w_host, kt_host, found_host, bam_host = _run(
         built_index, tmp_path, "host"
