@@ -42,6 +42,12 @@ def _run(built_index, tmp_path, engine: str):
         "device-np": [
             ("GROOT_ENGINE", "device"), ("GROOT_NO_NATIVE_CASCADE", "1")
         ],
+        "device-seq": [
+            ("GROOT_ENGINE", "device"), ("GROOT_SEQUENTIAL", "1")
+        ],
+        "hash-nopre": [
+            ("GROOT_ENGINE", "hash"), ("GROOT_NO_PRESCREEN", "1")
+        ],
     }[engine]
     for k, v in env:
         os.environ[k] = v
@@ -77,7 +83,10 @@ def _bam_key_set(path):
     )
 
 
-@pytest.mark.parametrize("engine", ["hash", "hash-np", "device", "device-np"])
+@pytest.mark.parametrize(
+    "engine",
+    ["hash", "hash-np", "device", "device-np", "device-seq", "hash-nopre"],
+)
 def test_hash_join_matches_legacy(built_index, tmp_path, engine):
     s_host, w_host, kt_host, found_host, bam_host = _run(
         built_index, tmp_path, "host"
