@@ -90,6 +90,34 @@ def main() -> int:
         print(f"row gather n={n:>9,} W={W}: {dt*1e3:8.1f} ms "
               f"({n*W/dt/1e6:8.1f} M elem/s)", flush=True)
 
+    # round-5 findings, reproducible (TUNNEL.md "gather lowering cliff"
+    # + "gather floor"): (a) only a slice EXACTLY as wide as the table
+    # row hits the fast path — any narrower slice is ~7x slower; (b) the
+    # fast path costs a FIXED ~0.2 us/row regardless of table size,
+    # locality (sequential == random) or alignment, so kernels built on
+    # row gathers are row-count-bound, not byte-bound.
+    from groot_tpu.align.device_join import _row_gather
+
+    Rb, Wb = 1_500_000, 377
+    Tb = jax.device_put(
+        rng.integers(0, 1 << 30, (Rb, Wb), dtype=np.int32)
+    )
+    n = 262_144
+    idx_r = jax.device_put(rng.integers(0, Rb, n, dtype=np.int32))
+    idx_s = jax.device_put(np.arange(n, dtype=np.int32))
+    for name, width, idx in (
+        ("full-width random", Wb, idx_r),
+        ("full-width sequential", Wb, idx_s),
+        ("narrow slice (W-168)", Wb - 168, idx_r),
+    ):
+        f = jax.jit(
+            lambda t, i, w=width: _row_gather(t, i, w)
+            .astype(jnp.int32).sum(axis=1).sum()
+        )
+        dt = bench(f, Tb, idx)
+        print(f"rowgather/{name:<22} n={n:,}: {dt*1e3:8.1f} ms "
+              f"({dt/n*1e9:6.0f} ns/row)", flush=True)
+
     # take_along_axis within rows: [N, W] rows, [N, K] lane indices
     N, W2, K = 131_072, 161, 16
     rows = jax.device_put(
